@@ -1,0 +1,229 @@
+"""The feed-forward stylizer network: arch-spec -> pure init/apply functions.
+
+TPU-native re-design of the reference transformer net (models_video.lua):
+  * NHWC layout, convs via lax.conv_general_dilated (MXU path).
+  * Parameters are a flat dict {layer_name: {'w': ..., 'b': ...}} pytree —
+    trivially shardable with jax.sharding and serializable with orbax.
+  * InstanceNorm implemented directly (mean/var over H,W per sample+channel,
+    biased variance, eps 1e-5) instead of the reference's BatchNorm-reshape
+    trick (InstanceNormalization.lua:33-53). Stats are computed in float32
+    regardless of compute dtype.
+  * 'reflect-start' padding is applied statically at the input (the
+    reference patches the net lazily at train time, train_video.lua:319-325).
+  * The forward returns VGG-space output (tanh * tanh_constant). The
+    reference's trailing TotalVariation layer is identity at forward time;
+    its training gradient is reproduced by adding ops.tv.tv_loss to the
+    training objective.
+
+Weight init matches Torch defaults so that from-scratch training behaves the
+same: conv W,b ~ U(-k, k) with k = 1/sqrt(fan_in); instance norm scale
+~ U(0, 1), bias 0 (InstanceNormalization.lua:26-27).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from .arch_dsl import LayerSpec, ModelSpec, parse_arch  # noqa: F401 (re-export)
+
+Params = Dict[str, Any]
+
+_DN = ("NHWC", "HWIO", "NHWC")
+
+
+# ---------------------------------------------------------------------------
+# primitive layers
+# ---------------------------------------------------------------------------
+
+def _pad2d(x, pad: int, mode: str):
+    if pad == 0:
+        return x
+    cfg = [(0, 0), (pad, pad), (pad, pad), (0, 0)]
+    return jnp.pad(x, cfg, mode="reflect" if mode == "reflect" else "edge")
+
+
+def conv2d(x, w, b, stride: int = 1, pad: int = 0):
+    """Plain conv, zero padding `pad`, kernel HWIO."""
+    y = jax.lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=((pad, pad), (pad, pad)),
+        dimension_numbers=_DN,
+        preferred_element_type=jnp.float32,
+    )
+    return (y + b.astype(jnp.float32)).astype(x.dtype)
+
+
+def conv_transpose2d(x, w, b, stride: int, pad: int, out_adjust: int):
+    """Torch SpatialFullConvolution semantics: out = (in-1)*s - 2p + k + a.
+
+    Kernel is stored pre-flipped in HWIO so this lowers to a single dilated
+    conv (input dilation = stride). The t7 importer performs the flip when
+    converting Torch weights.
+    """
+    k = w.shape[0]
+    lo = k - 1 - pad
+    hi = k - 1 - pad + out_adjust
+    y = jax.lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(1, 1),
+        padding=((lo, hi), (lo, hi)),
+        lhs_dilation=(stride, stride),
+        dimension_numbers=_DN,
+        preferred_element_type=jnp.float32,
+    )
+    return (y + b.astype(jnp.float32)).astype(x.dtype)
+
+
+def instance_norm(x, scale, bias, eps: float = 1e-5):
+    """IN with learned affine; statistics in float32, biased variance."""
+    x32 = x.astype(jnp.float32)
+    mean = x32.mean(axis=(1, 2), keepdims=True)
+    var = x32.var(axis=(1, 2), keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def upsample_nearest(x, scale: int):
+    n, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, scale, w, scale, c))
+    return x.reshape(n, h * scale, w * scale, c)
+
+
+def shave(x, s: int):
+    return x[:, s:-s, s:-s, :]
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def _init_conv(key, ksize, in_ch, out_ch):
+    k1, k2 = jax.random.split(key)
+    stdv = 1.0 / (ksize * ksize * in_ch) ** 0.5
+    w = jax.random.uniform(k1, (ksize, ksize, in_ch, out_ch), jnp.float32, -stdv, stdv)
+    b = jax.random.uniform(k2, (out_ch,), jnp.float32, -stdv, stdv)
+    return {"w": w, "b": b}
+
+
+def _init_norm(key, ch, use_instance_norm: bool):
+    if use_instance_norm:
+        scale = jax.random.uniform(key, (ch,), jnp.float32, 0.0, 1.0)
+    else:
+        scale = jnp.ones((ch,), jnp.float32)
+    return {"scale": scale, "bias": jnp.zeros((ch,), jnp.float32)}
+
+
+def init_params(key, spec: ModelSpec) -> Params:
+    params: Params = {}
+    in_ch = spec.in_channels
+    use_in = spec.use_instance_norm
+    for i, layer in enumerate(spec.layers):
+        name = f"layer{i:02d}"
+        key, *ks = jax.random.split(key, 6)
+        if layer.kind in ("conv", "full_conv"):
+            params[name] = _init_conv(ks[0], layer.ksize, in_ch, layer.out_channels)
+            in_ch = layer.out_channels
+        elif layer.kind in ("conv_block", "res_block"):
+            d = layer.out_channels
+            params[name] = {
+                "conv1": _init_conv(ks[0], 3, d, d),
+                "norm1": _init_norm(ks[1], d, use_in),
+                "conv2": _init_conv(ks[2], 3, d, d),
+                "norm2": _init_norm(ks[3], d, use_in),
+            }
+            in_ch = d
+        elif layer.kind == "upsample":
+            params[name] = {}
+        if layer.norm_after:
+            params[name + "_norm"] = _init_norm(ks[4], in_ch, use_in)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# apply
+# ---------------------------------------------------------------------------
+
+def _norm_apply(x, p, use_instance_norm: bool):
+    if use_instance_norm:
+        return instance_norm(x, p["scale"], p["bias"])
+    # Inference-style batch norm fallback (the reference trains with IN by
+    # default; BN support exists for parity with use_instance_norm=0).
+    mean = x.mean(axis=(0, 1, 2), keepdims=True)
+    var = x.var(axis=(0, 1, 2), keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + 1e-5)
+    return y * p["scale"] + p["bias"]
+
+
+def _block_apply(x, p, layer: LayerSpec, use_in: bool, residual: bool):
+    pt = layer.block_padding
+    inner_pad = 1 if pt == "zero" else 0
+    h = x
+    if pt in ("reflect", "replicate"):
+        h = _pad2d(h, 1, pt)
+    h = conv2d(h, p["conv1"]["w"], p["conv1"]["b"], 1, inner_pad)
+    h = _norm_apply(h, p["norm1"], use_in)
+    h = jax.nn.relu(h)
+    if pt in ("reflect", "replicate"):
+        h = _pad2d(h, 1, pt)
+    h = conv2d(h, p["conv2"]["w"], p["conv2"]["b"], 1, inner_pad)
+    h = _norm_apply(h, p["norm2"], use_in)
+    if not residual:
+        return h
+    skip = shave(x, 2) if pt in ("none", "reflect-start") else x
+    return h + skip
+
+
+def apply(params: Params, spec: ModelSpec, x, *, dtype=None):
+    """Run the stylizer. x: (N, H, W, in_channels) in preprocessed (VGG)
+    space; returns (N, H, W, 3) in VGG space (pre-deprocess)."""
+    if dtype is not None:
+        x = x.astype(dtype)
+    if spec.input_pad:
+        x = _pad2d(x, spec.input_pad, "reflect")
+    use_in = spec.use_instance_norm
+    for i, layer in enumerate(spec.layers):
+        name = f"layer{i:02d}"
+        p = params[name]
+        if layer.kind == "conv":
+            if layer.pad_mode:
+                x = _pad2d(x, (layer.ksize - 1) // 2, layer.pad_mode)
+            x = conv2d(x, p["w"], p["b"], layer.stride, layer.pad)
+        elif layer.kind == "full_conv":
+            x = conv_transpose2d(x, p["w"], p["b"], layer.stride, layer.pad, layer.out_adjust)
+        elif layer.kind == "upsample":
+            x = upsample_nearest(x, layer.scale)
+        elif layer.kind == "conv_block":
+            x = _block_apply(x, p, layer, use_in, residual=False)
+        elif layer.kind == "res_block":
+            x = _block_apply(x, p, layer, use_in, residual=True)
+        if layer.norm_after:
+            x = _norm_apply(x, params[name + "_norm"], use_in)
+        if layer.relu_after:
+            x = jax.nn.relu(x)
+    x = jnp.tanh(x.astype(jnp.float32)) * spec.tanh_constant
+    return x
+
+
+def build(arch: str = "canonical", in_channels: int = 7, **kw):
+    """Convenience: (spec, init_fn, apply_fn)."""
+    spec = parse_arch(arch, in_channels=in_channels, **kw)
+
+    def init_fn(key):
+        return init_params(key, spec)
+
+    def apply_fn(params, x, **akw):
+        return apply(params, spec, x, **akw)
+
+    return spec, init_fn, apply_fn
+
+
+def count_params(params: Params) -> int:
+    return sum(int(x.size) for x in jax.tree_util.tree_leaves(params))
