@@ -1,0 +1,88 @@
+"""CLI: stylize a frame sequence into a temporally consistent stylized
+sequence — flag-level parity with ``th fast_artistic_video.lua``
+(fast_artistic_video.lua:21-67). GPU/backend flags are replaced by JAX
+device handling; ``--dtype bfloat16`` selects the fast TPU compute path.
+
+Example (frames + precomputed flow like the reference shell pipeline):
+
+  python -m fast_artistic_videos_tpu.cli.stylize_video \\
+      --model_vid candy-video.npz --model_img candy-image.npz \\
+      --input_pattern frames/frame_%05d.ppm \\
+      --flow_pattern flow/backward_[%d]_{%d}.flo \\
+      --occlusions_pattern flow/reliable_[%d]_{%d}.pgm \\
+      --output_prefix out/out
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+from ..core.config import StylizeOptions
+from ..models import checkpoint, stylizer
+from ..video.engine import EngineConfig, StylizerEngine
+from ..video.driver_video import VideoDriver
+
+
+def add_stylize_flags(p: argparse.ArgumentParser) -> None:
+    defaults = StylizeOptions()
+    for f in dataclasses.fields(StylizeOptions):
+        flag = "--" + f.name
+        default = getattr(defaults, f.name)
+        if f.type == "bool" or isinstance(default, bool):
+            p.add_argument(flag, action="store_true", default=default)
+        else:
+            p.add_argument(flag, type=type(default), default=default)
+
+
+def options_from_args(args) -> StylizeOptions:
+    kw = {f.name: getattr(args, f.name) for f in dataclasses.fields(StylizeOptions)}
+    return StylizeOptions(**kw)
+
+
+def build_engine(opt: StylizeOptions) -> StylizerEngine:
+    spec_v, params_v, _ = checkpoint.load_model(opt.model_vid)
+    apply_vid = lambda p, x: stylizer.apply(p, spec_v, x)  # noqa: E731
+    apply_img = params_img = None
+    stride = spec_v.total_stride
+    if opt.model_img not in ("", "self"):
+        spec_i, params_img, _ = checkpoint.load_model(opt.model_img)
+        apply_img = lambda p, x: stylizer.apply(p, spec_i, x)  # noqa: E731
+        stride = max(stride, spec_i.total_stride)
+    cfg = EngineConfig(
+        fill_occlusions=opt.fill_occlusions,
+        occlusions_min_filter=opt.occlusions_min_filter,
+        dtype=opt.dtype,
+    )
+    return StylizerEngine(
+        apply_vid, params_v, apply_img, params_img, stride_multiple=stride, config=cfg
+    )
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    add_stylize_flags(p)
+    args = p.parse_args(argv)
+    opt = options_from_args(args)
+    if not opt.input_pattern:
+        p.error("--input_pattern is required")
+    if not opt.create_inconsistent and (not opt.flow_pattern or not opt.occlusions_pattern):
+        p.error("--flow_pattern and --occlusions_pattern are required "
+                "(or pass --create_inconsistent)")
+    engine = build_engine(opt)
+    eval_fn = None
+    if opt.evaluate:
+        from ..video.evaluation import VideoEvaluator
+
+        eval_fn = VideoEvaluator(opt).__call__
+    driver = VideoDriver(engine, opt, eval_fn=eval_fn)
+    results = driver.run()
+    if results:
+        total = sum(r.seconds for r in results)
+        print(f"{len(results)} frames in {total:.2f}s "
+              f"({len(results)/max(total,1e-9):.2f} fps device-side)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -140,8 +140,6 @@ def init_params(key, spec: ModelSpec) -> Params:
                 "norm2": _init_norm(ks[3], d, use_in),
             }
             in_ch = d
-        elif layer.kind == "upsample":
-            params[name] = {}
         if layer.norm_after:
             params[name + "_norm"] = _init_norm(ks[4], in_ch, use_in)
     return params
@@ -191,7 +189,7 @@ def apply(params: Params, spec: ModelSpec, x, *, dtype=None):
     use_in = spec.use_instance_norm
     for i, layer in enumerate(spec.layers):
         name = f"layer{i:02d}"
-        p = params[name]
+        p = params.get(name)
         if layer.kind == "conv":
             if layer.pad_mode:
                 x = _pad2d(x, (layer.ksize - 1) // 2, layer.pad_mode)

@@ -1,0 +1,173 @@
+"""2D video stylization driver — the equivalent of fast_artistic_video.lua.
+
+Consumes a frame sequence plus per-pair backward flow (.flo) and reliability
+maps (.pgm) addressed by the reference's filename-pattern DSL, and writes
+stylized PNGs. Frame recurrence:
+
+  frame 1 (or create_inconsistent): independent stylization
+  frame i: prior = warp(stylized[i-1], backward_flow_i), certainty from the
+           reliability map (optionally inverted / boundary-fixed), then the
+           fused engine step.
+
+I/O (disk reads of the next frame's inputs, PNG writes) overlaps device
+compute through Prefetcher/AsyncWriter. The reference instead polls the
+filesystem at 1 Hz (utils.lua:74-80); `wait_for_file` preserves that
+synchronization with a concurrently-running flow producer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+from ..core import io
+from ..core.config import StylizeOptions, format_flow_name
+from ..ops import warp
+from ..utils import pipeline
+from .engine import StylizerEngine
+
+import jax.numpy as jnp
+
+
+def fix_occlusions_mask(cert: np.ndarray, flow: np.ndarray) -> np.ndarray:
+    """Zero certainty where warping leaves no correspondence — Sintel GT
+    workaround (fast_artistic_video.lua:79-86): warp an all-ones image and
+    threshold at 0.5."""
+    weight = np.asarray(warp.warp_weight_map(jnp.asarray(flow), *cert.shape))
+    return cert * (np.sign(weight - 0.5).clip(min=0.0))
+
+
+@dataclasses.dataclass
+class FrameResult:
+    index: int
+    path: str
+    seconds: float
+
+
+class VideoDriver:
+    def __init__(self, engine: StylizerEngine, opt: StylizeOptions,
+                 eval_fn: Optional[Callable] = None):
+        self.engine = engine
+        self.opt = opt
+        self.eval_fn = eval_fn  # called as eval_fn(i, content, stylized, prev_stylized, prev_content)
+        self.eval_rows: List[List[float]] = []
+
+    # -- input loading ----------------------------------------------------
+
+    def _frame_path(self, i: int) -> str:
+        return self.opt.input_pattern % i
+
+    def load_frame(self, i: int) -> Optional[np.ndarray]:
+        path = self._frame_path(i)
+        if not os.path.exists(path):
+            return None
+        return io.load_image(path)
+
+    def load_flow_cert(self, i: int):
+        opt = self.opt
+        flow_name = format_flow_name(opt.flow_pattern, i - 1, i)
+        cert_name = format_flow_name(opt.occlusions_pattern, i - 1, i)
+        pipeline.wait_for_file(cert_name)
+        pipeline.wait_for_file(flow_name)
+        flow = io.read_flo(flow_name)
+        cert = io.load_image(cert_name, num_channels=1)[..., 0]
+        if opt.invert_occlusion:
+            cert = 1.0 - cert
+        if opt.fix_occlusions:
+            cert = fix_occlusions_mask(cert, flow)
+        return flow, cert
+
+    def _load_inputs(self, i: int):
+        """Prefetchable bundle for frame i."""
+        frame = self.load_frame(i)
+        if frame is None:
+            return None
+        first = self._is_single_image(i)
+        flow_cert = None if first else self.load_flow_cert(i)
+        return frame, flow_cert
+
+    def _is_single_image(self, i: int) -> bool:
+        # Reference: i == 1 or create_inconsistent (fast_artistic_video.lua:172).
+        # In -backward mode the reference would warp a nonexistent previous
+        # stylized frame on its first iteration (core.lua:189-194 starts at
+        # num_frames-1 but is_single_image only fires at i==1); we instead
+        # stylize the first *processed* frame independently.
+        if self.opt.create_inconsistent:
+            return True
+        return i == (self.opt.num_frames if self.opt.backward else 1)
+
+    # -- output -----------------------------------------------------------
+
+    def _out_path(self, i: int) -> str:
+        return f"{self.opt.output_prefix}-{i:05d}.png"
+
+    # -- main loop --------------------------------------------------------
+
+    def run(self, progress: bool = True) -> List[FrameResult]:
+        opt = self.opt
+        if opt.backward:
+            indices = list(range(opt.num_frames, 0, -1))
+        else:
+            indices = list(range(opt.continue_with, opt.num_frames + 1))
+
+        results: List[FrameResult] = []
+        writer = pipeline.AsyncWriter()
+        last_stylized: Optional[np.ndarray] = None
+        scale = opt.scale_factor
+
+        try:
+            for i, item in pipeline.Prefetcher(self._load_inputs, indices):
+                frame, flow_cert = item
+                t0 = time.monotonic()
+                content = frame
+                if scale != 1.0:
+                    content = _resize_bicubic(frame, scale)
+                if flow_cert is None:
+                    stylized = self.engine.stylize_first(content)
+                else:
+                    flow, cert = flow_cert
+                    if scale != 1.0:
+                        flow = _resize_bicubic(flow, scale) * scale
+                        cert = _resize_bicubic(cert[..., None], scale)[..., 0]
+                    stylized = self.engine.stylize_next(content, last_stylized, flow, cert)
+                if scale != 1.0:
+                    stylized = _resize_bicubic(stylized, frame.shape[0] / stylized.shape[0])
+                dt = time.monotonic() - t0
+                out_path = self._out_path(i)
+                writer.put(lambda p=out_path, s=stylized: io.save_image(p, s))
+                if progress:
+                    print(f"frame {i}: {dt*1000:.1f} ms -> {out_path}")
+                if self.eval_fn is not None:
+                    row = self.eval_fn(i, frame, stylized, last_stylized)
+                    if row is not None:
+                        self.eval_rows.append(list(row))
+                last_stylized = stylized
+                results.append(FrameResult(i, out_path, dt))
+        finally:
+            writer.close()
+        if self.eval_rows and opt.evaluation_file:
+            self._write_eval_file()
+        return results
+
+    def _write_eval_file(self):
+        """Reference format (core.lua:231-240): one semicolon-joined series
+        per metric, then per-metric means."""
+        cols = list(zip(*self.eval_rows))
+        with open(self.opt.evaluation_file, "a") as f:
+            for series in cols:
+                f.write(";".join(str(v) for v in series) + "\n")
+            for series in cols:
+                f.write(str(sum(series) / max(1, self.opt.num_frames)) + "\n")
+
+
+def _resize_bicubic(arr: np.ndarray, scale: float) -> np.ndarray:
+    import jax
+
+    h, w = arr.shape[:2]
+    nh, nw = int(round(h * scale)), int(round(w * scale))
+    out = jax.image.resize(jnp.asarray(arr), (nh, nw) + arr.shape[2:], method="bicubic")
+    return np.asarray(out)

@@ -1,0 +1,194 @@
+"""The generic prior-conditioned stylization engine.
+
+TPU-native redesign of ``run_fast_neural_video`` (fast_artistic_video_core.lua:34):
+the reference's callback septet becomes a small protocol —
+
+  * :class:`FrameSource`   — yields content frames (func_load_image)
+  * :class:`PriorProvider` — yields (prior image, certainty) for frame i
+    (func_load_cert + func_make_last_frame_warped)
+  * :class:`FrameSink`     — consumes stylized frames (func_save_image)
+
+while the per-frame compute (certainty erosion, flow warp of the previous
+stylized frame, masking, occlusion fill, 7-channel assembly, stylizer
+forward, de-processing) is fused into ONE jitted device function per frame
+shape — no host round-trips inside a step (reference equivalents:
+core.lua:161-180 run_next_image, core.lua:121-158 run_image,
+core.lua:194-229 main loop).
+
+The recurrence over frames is inherently sequential (frame t consumes the
+stylized frame t-1); throughput comes from keeping the whole step on-device
+and overlapping host I/O via the driver's prefetcher.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Protocol, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import filters, warp
+from ..ops.preprocess import vgg_preprocess, vgg_deprocess
+
+
+class FrameSource(Protocol):
+    def load(self, i: int) -> Optional[np.ndarray]:
+        """Content frame i as float32 (H, W, 3) in [0,1], or None if done."""
+
+
+class PriorProvider(Protocol):
+    def prior(self, i: int, last_stylized: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """Return (prior_rgb (H,W,3), certainty (H,W)) for frame i."""
+
+
+class FrameSink(Protocol):
+    def save(self, i: int, stylized: np.ndarray) -> None: ...
+
+
+@dataclasses.dataclass
+class EngineConfig:
+    fill_occlusions: str = "vgg-mean"      # 'vgg-mean' | 'uniform-random'
+    occlusions_min_filter: int = 7
+    dtype: str = "float32"                 # 'float32' | 'bfloat16'
+    seed: int = 0
+
+
+def _round_up(v: int, m: int) -> int:
+    return -(-v // m) * m
+
+
+class StylizerEngine:
+    """Holds the jitted step functions for one (image-model, video-model) pair.
+
+    apply_img may be None — then the video model stylizes independent frames
+    with a zero prior and zero certainty, exactly like the reference when
+    ``-model_img self`` (core.lua:133-138).
+    """
+
+    def __init__(
+        self,
+        apply_vid: Callable,
+        params_vid,
+        apply_img: Optional[Callable] = None,
+        params_img=None,
+        stride_multiple: int = 4,
+        config: EngineConfig = EngineConfig(),
+    ):
+        self.apply_vid = apply_vid
+        self.params_vid = params_vid
+        self.apply_img = apply_img
+        self.params_img = params_img
+        self.stride_multiple = max(1, stride_multiple)
+        self.config = config
+        self._key = jax.random.PRNGKey(config.seed)
+        self._dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
+        self._jit_first = jax.jit(self._first_impl)
+        self._jit_next = jax.jit(self._next_impl)
+        self._jit_prior = jax.jit(self._stylize_with_prior, static_argnames=("erode",))
+
+    # -- device-side implementations ------------------------------------
+
+    def _fill(self, key, cert3, shape):
+        """Occlusion fill in VGG space (core.lua:108-117): zeros for
+        'vgg-mean', preprocessed uniform noise masked to occlusions for
+        'uniform-random'."""
+        if self.config.fill_occlusions == "uniform-random":
+            rnd = jax.random.uniform(key, shape, jnp.float32)
+            return vgg_preprocess(rnd) * (1.0 - cert3)
+        return jnp.zeros(shape, jnp.float32)
+
+    def _run_model(self, which, x):
+        if which == "img":
+            y = self.apply_img(self.params_img, x.astype(self._dtype))
+        else:
+            y = self.apply_vid(self.params_vid, x.astype(self._dtype))
+        return y.astype(jnp.float32)
+
+    def _first_impl(self, content, key):
+        """content: (H, W, 3) RGB [0,1]."""
+        c = vgg_preprocess(content.astype(jnp.float32))[None]
+        if self.apply_img is not None:
+            y = self._run_model("img", c)
+        else:
+            h, w = content.shape[0], content.shape[1]
+            cert3 = jnp.zeros((1, h, w, 3), jnp.float32)
+            fill = self._fill(key, cert3, (1, h, w, 3))
+            x = jnp.concatenate([c, fill, jnp.zeros((1, h, w, 1))], axis=-1)
+            y = self._run_model("vid", x)
+        return jnp.clip(vgg_deprocess(y[0]), 0.0, 1.0)
+
+    def _next_impl(self, content, prev_stylized, flow, cert, key):
+        """content/prev_stylized: (H,W,3) RGB [0,1]; flow: (H,W,2) (dx,dy)
+        mapping frame-i pixels to frame-(i-1) positions (backward flow);
+        cert: (H,W) in [0,1]."""
+        h, w = content.shape[0], content.shape[1]
+        cert = filters.min_filter(cert, self.config.occlusions_min_filter)
+        prior_rgb = warp.bilinear_warp(prev_stylized, flow)
+        return self._stylize_with_prior(content, prior_rgb, cert, key)
+
+    def _stylize_with_prior(self, content, prior_rgb, cert, key, erode: bool = False):
+        if erode:
+            cert = filters.min_filter(cert, self.config.occlusions_min_filter)
+        h, w = content.shape[0], content.shape[1]
+        cert1 = cert[..., None][None]                       # (1,H,W,1)
+        cert3 = jnp.broadcast_to(cert1, (1, h, w, 3))
+        c = vgg_preprocess(content.astype(jnp.float32))[None]
+        prior = vgg_preprocess(prior_rgb.astype(jnp.float32))[None] * cert3
+        prior = prior + self._fill(key, cert3, (1, h, w, 3))
+        x = jnp.concatenate([c, prior, cert1], axis=-1)
+        y = self._run_model("vid", x)
+        return jnp.clip(vgg_deprocess(y[0]), 0.0, 1.0)
+
+    # -- host API --------------------------------------------------------
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def _pad(self, arr, mode="edge"):
+        h, w = arr.shape[0], arr.shape[1]
+        hp, wp = _round_up(h, self.stride_multiple), _round_up(w, self.stride_multiple)
+        if (hp, wp) == (h, w):
+            return arr, (h, w)
+        pad = [(0, hp - h), (0, wp - w)] + [(0, 0)] * (arr.ndim - 2)
+        return np.pad(np.asarray(arr), pad, mode=mode), (h, w)
+
+    def stylize_first(self, content: np.ndarray) -> np.ndarray:
+        content, (h, w) = self._pad(content)
+        out = self._jit_first(jnp.asarray(content), self._next_key())
+        return np.asarray(out)[:h, :w]
+
+    def stylize_next(
+        self, content: np.ndarray, prev_stylized: np.ndarray, flow: np.ndarray, cert: np.ndarray
+    ) -> np.ndarray:
+        content, (h, w) = self._pad(content)
+        prev_stylized, _ = self._pad(prev_stylized)
+        flow, _ = self._pad(flow)
+        cert, _ = self._pad(cert, mode="constant")  # padded area = occluded
+        out = self._jit_next(
+            jnp.asarray(content),
+            jnp.asarray(prev_stylized),
+            jnp.asarray(flow),
+            jnp.asarray(cert),
+            self._next_key(),
+        )
+        return np.asarray(out)[:h, :w]
+
+    def stylize_with_prior(
+        self, content: np.ndarray, prior_rgb: np.ndarray, cert: np.ndarray, erode_cert: bool = True
+    ) -> np.ndarray:
+        """VR-style entry: the prior image is assembled by the caller
+        (e.g. cube-face borders); certainty is still eroded on device."""
+        content, (h, w) = self._pad(content)
+        prior_rgb, _ = self._pad(prior_rgb)
+        cert, _ = self._pad(cert, mode="constant")
+        out = self._jit_prior(
+            jnp.asarray(content),
+            jnp.asarray(prior_rgb),
+            jnp.asarray(cert),
+            self._next_key(),
+            erode=erode_cert,
+        )
+        return np.asarray(out)[:h, :w]

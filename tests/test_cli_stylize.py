@@ -1,0 +1,132 @@
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from fast_artistic_videos_tpu.core import io
+from fast_artistic_videos_tpu.models import arch_dsl, checkpoint, stylizer
+from fast_artistic_videos_tpu.cli import stylize_video
+
+
+ARCH = "c3s1-8,d16,R16,U2,c3s1-3"
+
+
+def _save_tiny_model(path, in_channels, seed=0):
+    spec = arch_dsl.parse_arch(ARCH, in_channels=in_channels)
+    params = stylizer.init_params(jax.random.PRNGKey(seed), spec)
+    checkpoint.save_model(
+        path,
+        params,
+        {
+            "arch": ARCH,
+            "in_channels": in_channels,
+            "padding_type": "reflect-start",
+            "use_instance_norm": True,
+            "tanh_constant": 150.0,
+        },
+    )
+
+
+@pytest.fixture
+def clip(tmp_path, rng):
+    """3-frame synthetic clip: constant 2px right camera pan, exact flow."""
+    base = rng.random((20, 28, 3)).astype(np.float32)
+    frames = [base[:, i * 2 : i * 2 + 24] for i in range(3)]
+    d = tmp_path
+    (d / "flow").mkdir()
+    for i, f in enumerate(frames, start=1):
+        io.save_image(str(d / f"frame_{i:05d}.ppm"), f)
+    for i in range(2, 4):
+        flow = np.zeros((20, 24, 2), np.float32)
+        flow[..., 0] = -2.0  # new pixel at x came from x-2 in previous frame
+        io.write_flo(str(d / "flow" / f"backward_{i}_{i-1}.flo"), flow)
+        cert = np.full((20, 24), 255, np.uint8)
+        cert[:, :2] = 0  # newly revealed band
+        io.write_pgm(str(d / "flow" / f"reliable_{i}_{i-1}.pgm"), cert)
+    return d
+
+
+def test_cli_end_to_end(clip, tmp_path):
+    model_vid = str(tmp_path / "vid.npz")
+    model_img = str(tmp_path / "img.npz")
+    _save_tiny_model(model_vid, 7)
+    _save_tiny_model(model_img, 3)
+    rc = stylize_video.main(
+        [
+            "--model_vid", model_vid,
+            "--model_img", model_img,
+            "--input_pattern", str(clip / "frame_%05d.ppm"),
+            "--flow_pattern", str(clip / "flow" / "backward_[%d]_{%d}.flo"),
+            "--occlusions_pattern", str(clip / "flow" / "reliable_[%d]_{%d}.pgm"),
+            "--output_prefix", str(clip / "out" / "out"),
+            "--num_frames", "3",
+        ]
+    )
+    assert rc == 0
+    outs = [str(clip / "out" / f"out-{i:05d}.png") for i in (1, 2, 3)]
+    assert all(os.path.exists(p) for p in outs)
+    img = io.load_image(outs[1])
+    assert img.shape == (20, 24, 3)
+    assert img.std() > 0.01  # not a constant image
+
+
+def test_cli_self_video_model(clip, tmp_path):
+    """model_img='self': frame 1 goes through the video model with zero
+    prior/cert (core.lua:133-138)."""
+    model_vid = str(tmp_path / "vid.npz")
+    _save_tiny_model(model_vid, 7)
+    rc = stylize_video.main(
+        [
+            "--model_vid", model_vid,
+            "--model_img", "self",
+            "--input_pattern", str(clip / "frame_%05d.ppm"),
+            "--flow_pattern", str(clip / "flow" / "backward_[%d]_{%d}.flo"),
+            "--occlusions_pattern", str(clip / "flow" / "reliable_[%d]_{%d}.pgm"),
+            "--output_prefix", str(clip / "out2" / "out"),
+            "--num_frames", "2",
+        ]
+    )
+    assert rc == 0
+    assert os.path.exists(str(clip / "out2" / "out-00002.png"))
+
+
+def test_cli_create_inconsistent(clip, tmp_path):
+    model_vid = str(tmp_path / "vid.npz")
+    model_img = str(tmp_path / "img.npz")
+    _save_tiny_model(model_vid, 7)
+    _save_tiny_model(model_img, 3)
+    rc = stylize_video.main(
+        [
+            "--model_vid", model_vid,
+            "--model_img", model_img,
+            "--input_pattern", str(clip / "frame_%05d.ppm"),
+            "--output_prefix", str(clip / "out3" / "out"),
+            "--create_inconsistent",
+            "--num_frames", "2",
+        ]
+    )
+    assert rc == 0
+    assert os.path.exists(str(clip / "out3" / "out-00002.png"))
+
+
+def test_cli_requires_patterns(tmp_path):
+    model_vid = str(tmp_path / "vid.npz")
+    _save_tiny_model(model_vid, 7)
+    with pytest.raises(SystemExit):
+        stylize_video.main(["--model_vid", model_vid])
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    spec = arch_dsl.parse_arch(ARCH, in_channels=7)
+    params = stylizer.init_params(jax.random.PRNGKey(1), spec)
+    p = str(tmp_path / "m.npz")
+    checkpoint.save_model(p, params, {"arch": ARCH, "in_channels": 7, "style": "test"})
+    spec2, params2, meta = checkpoint.load_model(p)
+    assert meta["style"] == "test"
+    assert spec2.in_channels == 7
+    flat1 = jax.tree_util.tree_leaves(params)
+    flat2 = jax.tree_util.tree_leaves(params2)
+    assert len(flat1) == len(flat2)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -1,0 +1,102 @@
+import numpy as np
+import jax.numpy as jnp
+
+from fast_artistic_videos_tpu.ops.preprocess import vgg_deprocess, vgg_preprocess
+from fast_artistic_videos_tpu.video.engine import EngineConfig, StylizerEngine
+
+
+def _prior_echo_model(params, x):
+    """Fake stylizer returning the prior channels (3:6) — exposes the
+    engine's warp/mask/fill mechanics directly at its output."""
+    return x[..., 3:6]
+
+
+def _content_echo_model(params, x):
+    return x[..., 0:3]
+
+
+def make_engine(apply_vid=_prior_echo_model, fill="vgg-mean", stride=1):
+    return StylizerEngine(
+        apply_vid, params_vid=None, stride_multiple=stride,
+        config=EngineConfig(fill_occlusions=fill, occlusions_min_filter=3),
+    )
+
+
+def test_first_frame_zero_prior_and_cert():
+    eng = make_engine(_prior_echo_model)
+    content = np.random.default_rng(0).random((8, 8, 3)).astype(np.float32)
+    out = eng.stylize_first(content)
+    # prior channel is vgg-mean fill (zeros in VGG space) -> deprocess(0) = mean/255 BGR->RGB
+    expect = vgg_deprocess(jnp.zeros((8, 8, 3))).clip(0, 1)
+    np.testing.assert_allclose(out, np.asarray(expect), atol=1e-5)
+
+
+def test_next_frame_prior_is_warped_masked_prev():
+    eng = make_engine(_prior_echo_model)
+    rng = np.random.default_rng(1)
+    content = rng.random((8, 10, 3)).astype(np.float32)
+    prev = rng.random((8, 10, 3)).astype(np.float32)
+    flow = np.zeros((8, 10, 2), np.float32)
+    flow[..., 0] = 2.0  # shift: prior = prev shifted left by 2
+    cert = np.ones((8, 10), np.float32)
+    out = eng.stylize_next(content, prev, flow, cert)
+    # interior: min_filter(ones)=ones, prior = warp(prev) exactly
+    np.testing.assert_allclose(out[:, :-2], prev[:, 2:], atol=1e-4)
+    # occluded right band: warp gives 0 content there, cert stays 1 => prior
+    # is vgg_preprocess(0)*1 + 0 fill -> deprocess -> 0
+    np.testing.assert_allclose(out[:, -2:], 0.0, atol=1e-4)
+
+
+def test_next_frame_cert_zero_gives_fill():
+    eng = make_engine(_prior_echo_model)
+    content = np.zeros((6, 6, 3), np.float32)
+    prev = np.ones((6, 6, 3), np.float32)
+    flow = np.zeros((6, 6, 2), np.float32)
+    cert = np.zeros((6, 6), np.float32)  # fully occluded
+    out = eng.stylize_next(content, prev, flow, cert)
+    expect = np.asarray(vgg_deprocess(jnp.zeros((6, 6, 3)))).clip(0, 1)
+    np.testing.assert_allclose(out, expect, atol=1e-5)
+
+
+def test_cert_erosion_applied():
+    eng = make_engine(_prior_echo_model)
+    content = np.zeros((8, 8, 3), np.float32)
+    prev = np.ones((8, 8, 3), np.float32)
+    flow = np.zeros((8, 8, 2), np.float32)
+    cert = np.ones((8, 8), np.float32)
+    cert[4, 4] = 0.0
+    out = eng.stylize_next(content, prev, flow, cert)
+    # min_filter(3) grows the zero to a 3x3 region; there prior -> fill(=0 vgg) -> deprocess
+    fill_px = np.asarray(vgg_deprocess(jnp.zeros((1, 1, 3))))[0, 0].clip(0, 1)
+    for y in range(3, 6):
+        for x in range(3, 6):
+            np.testing.assert_allclose(out[y, x], fill_px, atol=1e-5)
+    np.testing.assert_allclose(out[0, 0], 1.0, atol=1e-4)
+
+
+def test_uniform_random_fill_fills_occlusions():
+    eng = make_engine(_prior_echo_model, fill="uniform-random")
+    content = np.zeros((16, 16, 3), np.float32)
+    prev = np.ones((16, 16, 3), np.float32)
+    flow = np.zeros((16, 16, 2), np.float32)
+    cert = np.zeros((16, 16), np.float32)
+    out = eng.stylize_next(content, prev, flow, cert)
+    # occluded everywhere -> prior == preprocess(rand)*1 -> deprocess -> uniform noise
+    assert out.std() > 0.1
+
+
+def test_stride_padding_roundtrip():
+    eng = make_engine(_content_echo_model, stride=4)
+    content = np.random.default_rng(3).random((10, 13, 3)).astype(np.float32)
+    out = eng.stylize_first(content)
+    assert out.shape == content.shape
+    np.testing.assert_allclose(out, content, atol=1e-4)
+
+
+def test_stylize_with_prior_vr_entry():
+    eng = make_engine(_prior_echo_model)
+    content = np.zeros((8, 8, 3), np.float32)
+    prior = np.full((8, 8, 3), 0.25, np.float32)
+    cert = np.ones((8, 8), np.float32)
+    out = eng.stylize_with_prior(content, prior, cert, erode_cert=False)
+    np.testing.assert_allclose(out, 0.25, atol=1e-4)
