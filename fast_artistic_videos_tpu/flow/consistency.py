@@ -1,0 +1,168 @@
+"""Forward/backward flow consistency check — on-device (JAX) implementation.
+
+Produces the per-pixel flow-reliability ("certainty") mask the engine
+consumes, with the same decision rules as the reference's native
+consistencyChecker binary (consistencyChecker/consistencyChecker.cpp:80-134):
+
+  reliable(x) = 0    if any bilinear corner of x + f1(x) is out of bounds
+  reliable(x) = 0    if |x + f1(x) + f2(x + f1(x)) - x|^2
+                        >= 0.01*(|f1(x)|^2 + |f2_w(x)|^2) + structure_term + 0.5
+  reliable(x) = MB   if |∇f1(x)|^2 > 0.01*|f1(x)|^2 + 0.002   (motion boundary)
+  reliable(x) = 255  otherwise
+
+where f1 is the flow being checked (e.g. backward flow of the frame pair),
+f2 the reverse flow, derivatives are central differences ([-1/2, 0, 1/2])
+with symmetric boundary, and the optional structure term
+4/avg * max(0, avg/2 - ev_min(x)) relaxes the check in homogeneous regions
+(ev_min = smallest eigenvalue of the smoothed structure tensor,
+consistencyChecker.cpp:39-78).
+
+Divergence (documented): the reference smooths the structure tensor with a
+recursive (IIR) Gaussian approximation; IIR scans are hostile to TPU
+vectorization, so this implementation uses a truncated FIR Gaussian with the
+same sigma. The C++ CLI (tools/consistencyChecker) reproduces the reference
+exactly for file-level parity.
+
+All functions take flow as (H, W, 2) float32 with channels (dx, dy).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+MOTION_BOUNDARY_VALUE = 255.0
+
+
+def central_diff(x, axis: int):
+    """[-1/2, 0, 1/2] derivative with symmetric (half-sample) boundary,
+    matching NFilter::filter + CDerivative(3) (CFilter.h:600-611,1499-1532)."""
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (1, 1)
+    xp = jnp.pad(x, pad, mode="symmetric")
+    lo = jax.lax.slice_in_dim(xp, 2, xp.shape[axis], axis=axis)
+    hi = jax.lax.slice_in_dim(xp, 0, xp.shape[axis] - 2, axis=axis)
+    return 0.5 * (lo - hi)
+
+
+def gaussian_kernel(sigma: float, radius: int | None = None):
+    if radius is None:
+        radius = max(1, int(3.0 * sigma + 0.5))
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (x / sigma) ** 2)
+    return k / k.sum()
+
+
+def gaussian_smooth(img, sigma: float):
+    """Separable FIR Gaussian with symmetric boundary; img (H, W)."""
+    k = gaussian_kernel(sigma)
+    r = (k.shape[0] - 1) // 2
+    xp = jnp.pad(img, ((r, r), (0, 0)), mode="symmetric")
+    out = jnp.zeros_like(img)
+    for i in range(2 * r + 1):
+        out = out + k[i] * jax.lax.slice_in_dim(xp, i, i + img.shape[0], axis=0)
+    xp = jnp.pad(out, ((0, 0), (r, r)), mode="symmetric")
+    out = jnp.zeros_like(img)
+    for i in range(2 * r + 1):
+        out = out + k[i] * jax.lax.slice_in_dim(xp, i, i + img.shape[1], axis=1)
+    return out
+
+
+def structure_smallest_eigenvalue(image, rho: float = 3.0):
+    """Smallest eigenvalue of the smoothed structure (second-moment) tensor,
+    normalized to [0, 1] (consistencyChecker.cpp:39-78 + main:158-159).
+    image: (H, W, C) float in [0, 255] scale (the reference reads raw PPM)."""
+    dx = central_diff(image, 1)
+    dy = central_diff(image, 0)
+    dxx = jnp.sum(dx * dx, axis=-1)
+    dyy = jnp.sum(dy * dy, axis=-1)
+    dxy = jnp.sum(dx * dy, axis=-1)
+    dxx = gaussian_smooth(dxx, rho)
+    dyy = gaussian_smooth(dyy, rho)
+    dxy = gaussian_smooth(dxy, rho)
+    half_trace = 0.5 * (dxx + dyy)
+    disc = half_trace * half_trace + dxy * dxy - dxx * dyy
+    ev = jnp.where(disc < 0, 0.0, half_trace - jnp.sqrt(jnp.maximum(disc, 0.0)))
+    lo, hi = ev.min(), ev.max()
+    return (ev - lo) / jnp.maximum(hi - lo, 1e-12)
+
+
+def _sample_flow_strict(flow2, bx, by):
+    """Bilinear-sample flow2 at (bx, by); returns (u, v, in_bounds) where
+    in_bounds requires ALL four corners inside the image (the reference
+    marks the pixel unreliable otherwise, consistencyChecker.cpp:104-109)."""
+    h, w = flow2.shape[0], flow2.shape[1]
+    x1 = jnp.floor(bx)
+    y1 = jnp.floor(by)
+    in_bounds = (x1 >= 0) & (x1 + 1 <= w - 1) & (y1 >= 0) & (y1 + 1 <= h - 1)
+    ax = bx - x1
+    ay = by - y1
+    x1i = jnp.clip(x1.astype(jnp.int32), 0, w - 2)
+    y1i = jnp.clip(y1.astype(jnp.int32), 0, h - 2)
+    flat = flow2.reshape(h * w, 2)
+    idx = y1i * w + x1i
+
+    def take(offset):
+        return jnp.take(flat, (idx + offset).reshape(-1), axis=0).reshape(idx.shape + (2,))
+
+    f11 = take(0)
+    f21 = take(1)
+    f12 = take(w)
+    f22 = take(w + 1)
+    top = f11 * (1 - ax)[..., None] + f21 * ax[..., None]
+    bot = f12 * (1 - ax)[..., None] + f22 * ax[..., None]
+    uv = top * (1 - ay)[..., None] + bot * ay[..., None]
+    return uv, in_bounds
+
+
+@functools.partial(jax.jit, static_argnames=("use_structure",))
+def _consistency_impl(flow1, flow2, structure, use_structure: bool):
+    h, w = flow1.shape[0], flow1.shape[1]
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+
+    bx = xs + flow1[..., 0]
+    by = ys + flow1[..., 1]
+    uv, in_bounds = _sample_flow_strict(flow2, bx, by)
+    cx = bx + uv[..., 0]
+    cy = by + uv[..., 1]
+    roundtrip = (cx - xs) ** 2 + (cy - ys) ** 2
+    mag = jnp.sum(flow1 * flow1, axis=-1) + jnp.sum(uv * uv, axis=-1)
+
+    if use_structure:
+        avg = structure.mean()
+        structure_term = 4.0 / avg * jnp.maximum(0.0, avg / 2.0 - structure)
+    else:
+        structure_term = jnp.zeros((h, w), jnp.float32)
+
+    inconsistent = roundtrip >= 0.01 * mag + structure_term + 0.5
+
+    dx = central_diff(flow1, 1)
+    dy = central_diff(flow1, 0)
+    motion_edge = jnp.sum(dx * dx, axis=-1) + jnp.sum(dy * dy, axis=-1)
+    f1_mag = jnp.sum(flow1 * flow1, axis=-1)
+    is_boundary = motion_edge > 0.01 * f1_mag + 0.002
+
+    reliable = jnp.full((h, w), 255.0, jnp.float32)
+    reliable = jnp.where(is_boundary, MOTION_BOUNDARY_VALUE, reliable)
+    reliable = jnp.where(inconsistent, 0.0, reliable)
+    reliable = jnp.where(in_bounds, reliable, 0.0)
+    return jnp.clip(reliable, 0.0, 255.0)
+
+
+def consistency_mask(flow1, flow2, image=None, rho: float = 3.0):
+    """Reliability of flow1 cross-checked against flow2.
+
+    flow1/flow2: (H, W, 2) float32 (dx, dy). image: optional (H, W, C) in
+    [0, 1] (converted to the reference's 0-255 scale internally).
+    Returns float32 (H, W) in [0, 1] — divide-by-255 of the reference PGM.
+    """
+    if image is not None:
+        structure = structure_smallest_eigenvalue(image * 255.0, rho)
+        out = _consistency_impl(flow1, flow2, structure, True)
+    else:
+        dummy = jnp.zeros(flow1.shape[:2], jnp.float32)
+        out = _consistency_impl(flow1, flow2, dummy, False)
+    return out / 255.0

@@ -1,0 +1,126 @@
+import os
+import subprocess
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fast_artistic_videos_tpu.core import io
+from fast_artistic_videos_tpu.flow import consistency
+
+TOOL_DIR = os.path.join(os.path.dirname(__file__), "..", "tools", "consistencyChecker")
+
+
+def _smooth(a, it=12):
+    for _ in range(it):
+        a = 0.25 * (np.roll(a, 1, 0) + np.roll(a, -1, 0) + np.roll(a, 1, 1) + np.roll(a, -1, 1))
+    return a
+
+
+def test_identity_flow_reliable_except_border():
+    f = np.zeros((10, 12, 2), np.float32)
+    m = np.asarray(consistency.consistency_mask(jnp.asarray(f), jnp.asarray(f)))
+    # last row/col: bilinear corner x1+1 falls outside -> unreliable
+    np.testing.assert_allclose(m[:-1, :-1], 1.0)
+    np.testing.assert_allclose(m[-1, :], 0.0)
+    np.testing.assert_allclose(m[:, -1], 0.0)
+
+
+def test_consistent_shift_reliable():
+    f1 = np.zeros((16, 16, 2), np.float32)
+    f1[..., 0] = 3.0
+    f2 = -f1
+    m = np.asarray(consistency.consistency_mask(jnp.asarray(f1), jnp.asarray(f2)))
+    np.testing.assert_allclose(m[:-1, :-4], 1.0)
+
+
+def test_inconsistent_flow_unreliable():
+    f1 = np.zeros((16, 16, 2), np.float32)
+    f1[..., 0] = 5.0
+    f2 = np.zeros_like(f1)  # round-trip error 25 >= 0.01*25 + 0.5
+    m = np.asarray(consistency.consistency_mask(jnp.asarray(f1), jnp.asarray(f2)))
+    np.testing.assert_allclose(m, 0.0)
+
+
+def test_structure_term_relaxes_homogeneous_regions():
+    rng = np.random.default_rng(0)
+    f1 = np.zeros((32, 32, 2), np.float32)
+    f1[..., 0] = 1.0
+    f2 = -f1 + 0.9  # borderline inconsistency: roundtrip 0.81 vs 0.01*~2+0.5
+    img = np.zeros((32, 32, 3), np.float32)
+    img[:, 16:] = rng.random((32, 16, 3)).astype(np.float32)  # textured right half
+    m_plain = np.asarray(consistency.consistency_mask(jnp.asarray(f1), jnp.asarray(f2)))
+    m_struct = np.asarray(
+        consistency.consistency_mask(jnp.asarray(f1), jnp.asarray(f2), jnp.asarray(img))
+    )
+    # without structure: everything fails the check
+    assert m_plain[:-1, :-2].max() == 0.0
+    # with structure: the flat (left) region is forgiven
+    assert m_struct[8:24, 2:8].min() > 0.999
+
+
+def test_central_diff_symmetric_boundary():
+    x = jnp.asarray(np.array([[1.0, 2.0, 4.0, 7.0]], np.float32))
+    d = np.asarray(consistency.central_diff(x, axis=1))
+    np.testing.assert_allclose(d[0], [0.5, 1.5, 2.5, 1.5])
+
+
+@pytest.fixture(scope="session")
+def checker_binary():
+    path = os.path.join(TOOL_DIR, "consistency_checker")
+    subprocess.run(["make", "-C", TOOL_DIR], check=True, capture_output=True)
+    return path
+
+
+def test_cpp_tool_matches_jax(checker_binary, tmp_path, rng):
+    H, W = 48, 56
+    f1 = np.stack(
+        [_smooth(rng.normal(size=(H, W))) * 8, _smooth(rng.normal(size=(H, W))) * 8], -1
+    ).astype(np.float32)
+    f1[:, 30:, 0] += 6.0
+    f2 = (-f1 + rng.normal(size=f1.shape) * 0.05).astype(np.float32)
+    io.write_flo(str(tmp_path / "f1.flo"), f1)
+    io.write_flo(str(tmp_path / "f2.flo"), f2)
+    out = str(tmp_path / "out.pgm")
+    subprocess.run([checker_binary, str(tmp_path / "f1.flo"), str(tmp_path / "f2.flo"), out],
+                   check=True)
+    cpp = io.read_pnm(out).astype(np.float32) / 255.0
+    jx = np.asarray(consistency.consistency_mask(jnp.asarray(f1), jnp.asarray(f2)))
+    # no structure term: implementations share exact math -> identical
+    assert (np.abs(cpp - jx) > 1e-6).mean() < 1e-3
+
+
+def test_cpp_tool_with_structure(checker_binary, tmp_path, rng):
+    H, W = 48, 56
+    f1 = np.stack(
+        [_smooth(rng.normal(size=(H, W))) * 4, _smooth(rng.normal(size=(H, W))) * 4], -1
+    ).astype(np.float32)
+    f2 = (-f1 + rng.normal(size=f1.shape) * 0.4).astype(np.float32)
+    img = (_smooth(rng.normal(size=(H, W)))[..., None] * 0.3 + 0.5).clip(0, 1)
+    img = np.repeat(img, 3, axis=2).astype(np.float32)
+    io.write_flo(str(tmp_path / "f1.flo"), f1)
+    io.write_flo(str(tmp_path / "f2.flo"), f2)
+    io.save_image(str(tmp_path / "frame.ppm"), img)
+    out = str(tmp_path / "out.pgm")
+    subprocess.run(
+        [checker_binary, str(tmp_path / "f1.flo"), str(tmp_path / "f2.flo"), out,
+         str(tmp_path / "frame.ppm")],
+        check=True,
+    )
+    cpp = io.read_pnm(out).astype(np.float32) / 255.0
+    jx = np.asarray(
+        consistency.consistency_mask(jnp.asarray(f1), jnp.asarray(f2), jnp.asarray(img))
+    )
+    # FIR vs recursive Gaussian: only threshold-crossing pixels may differ
+    assert (np.abs(cpp - jx) > 1e-6).mean() < 0.03
+
+
+def test_cpp_tool_bad_args(checker_binary, tmp_path):
+    r = subprocess.run([checker_binary], capture_output=True)
+    assert r.returncode == 2
+    r = subprocess.run(
+        [checker_binary, "/nonexistent.flo", "/nonexistent.flo", str(tmp_path / "o.pgm")],
+        capture_output=True,
+    )
+    assert r.returncode == 1
+    assert b"cannot open" in r.stderr
