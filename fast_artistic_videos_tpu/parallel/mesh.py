@@ -1,0 +1,48 @@
+"""Device mesh construction and sharding helpers.
+
+The reference is single-process single-GPU (SURVEY.md §2.5); here
+parallelism is expressed once, declaratively:
+
+  * training: batch ('data') axis sharded over the mesh — XLA inserts the
+    gradient psum over ICI (no NCCL/MPI analog needed).
+  * inference at large resolutions: spatial sharding with halo exchange
+    lives in parallel.spatial.
+
+All helpers degrade gracefully to a 1-device mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(num_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
+    devs = jax.devices()
+    n = num_devices or len(devs)
+    if n > len(devs):
+        raise ValueError(f"requested {n} devices, have {len(devs)}")
+    return Mesh(np.array(devs[:n]), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Shard the leading (batch) axis; replicate the rest."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, tree, axis_name: str = "data"):
+    """Device-put every array in `tree` with its batch axis sharded."""
+    sh = batch_sharding(mesh, axis_name)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def replicate(mesh: Mesh, tree):
+    sh = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)

@@ -1,0 +1,96 @@
+"""Training losses as pure functions.
+
+Reference mapping:
+  * PerceptualCriterion (PerceptualCriterion.lua) — mode-switched loss
+    *layers* mutated between capture/loss modes become
+    :func:`style_targets` (one capture pass) + :func:`perceptual_loss`
+    (pure evaluation). Style aggregation: gram or spatial mean
+    (StyleLoss.lua:16-24); all criterions are size-averaged MSE like Torch's
+    MSECriterion defaults.
+  * pixel losses L2/L1/SmoothL1 (train_video.lua:116-126).
+  * TV regularization — the reference's in-model TotalVariation backward
+    equals the gradient of ops.tv.tv_loss (see that module).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models import vgg
+from ..ops.gram import gram_matrix, mean_aggregate
+
+
+@dataclasses.dataclass(frozen=True)
+class PerceptualConfig:
+    style_layers: Tuple[int, ...] = (4, 9, 16, 23)
+    style_weights: Tuple[float, ...] = (10.0,) * 4
+    content_layers: Tuple[int, ...] = (16,)
+    content_weights: Tuple[float, ...] = (1.0,)
+    agg_type: str = "gram"  # 'gram' | 'mean'
+
+    @property
+    def all_layers(self) -> Tuple[int, ...]:
+        return tuple(sorted(set(self.style_layers) | set(self.content_layers)))
+
+
+def _aggregate(feats, agg_type: str):
+    return gram_matrix(feats) if agg_type == "gram" else mean_aggregate(feats)
+
+
+def style_targets(vgg_params, style_img_pre, cfg: PerceptualConfig) -> List[jnp.ndarray]:
+    """Capture pass over the style image ((1, H, W, 3), VGG space) —
+    PerceptualCriterion:setStyleTarget."""
+    feats = vgg.extract_features(vgg_params, style_img_pre, cfg.style_layers)
+    return [_aggregate(feats[l], cfg.agg_type) for l in cfg.style_layers]
+
+
+def _mse(a, b):
+    return jnp.mean(jnp.square(a - b))
+
+
+def perceptual_loss(
+    vgg_params,
+    x,
+    content_target,
+    style_tgts: Sequence[jnp.ndarray],
+    cfg: PerceptualConfig,
+):
+    """x, content_target: (N, H, W, 3) VGG space. Returns (loss, per_layer)
+    where per_layer has 'style-<l>' / 'content-<l>' entries (the reference's
+    style_losses/content_losses tables, PerceptualCriterion.lua:137-151)."""
+    feats = vgg.extract_features(vgg_params, x, cfg.all_layers)
+    target_feats = vgg.extract_features(
+        vgg_params, jax.lax.stop_gradient(content_target), cfg.content_layers
+    )
+    per_layer: Dict[str, jnp.ndarray] = {}
+    total = jnp.asarray(0.0, jnp.float32)
+    for l, wgt, tgt in zip(cfg.style_layers, cfg.style_weights, style_tgts):
+        agg = _aggregate(feats[l], cfg.agg_type)
+        tgt = jax.lax.stop_gradient(tgt)
+        if agg.ndim == tgt.ndim + 1:  # broadcast single style target over batch
+            tgt = tgt[None]
+        loss = wgt * _mse(agg, tgt)
+        per_layer[f"style-{l}"] = loss
+        total = total + loss
+    for l, wgt in zip(cfg.content_layers, cfg.content_weights):
+        loss = wgt * _mse(feats[l], jax.lax.stop_gradient(target_feats[l]))
+        per_layer[f"content-{l}"] = loss
+        total = total + loss
+    return total, per_layer
+
+
+def pixel_loss(kind: str, a, b):
+    """Size-averaged pixel criterion (train_video.lua:116-126)."""
+    d = a - b
+    if kind == "L2":
+        return jnp.mean(jnp.square(d))
+    if kind == "L1":
+        return jnp.mean(jnp.abs(d))
+    if kind == "SmoothL1":
+        ad = jnp.abs(d)
+        return jnp.mean(jnp.where(ad < 1.0, 0.5 * jnp.square(d), ad - 0.5))
+    raise ValueError(f"unknown pixel loss {kind!r}")
