@@ -53,6 +53,7 @@ def build_engine(opt: StylizeOptions) -> StylizerEngine:
         fill_occlusions=opt.fill_occlusions,
         occlusions_min_filter=opt.occlusions_min_filter,
         dtype=opt.dtype,
+        exact_warp=opt.exact_warp,
     )
     return StylizerEngine(
         apply_vid, params_v, apply_img, params_img, stride_multiple=stride, config=cfg

@@ -178,6 +178,7 @@ class StylizeOptions:
     create_inconsistent: bool = False
     # numerics
     dtype: str = "float32"              # compute dtype: 'float32' | 'bfloat16'
+    exact_warp: bool = False            # gather warp (exact) vs banded TPU warp
     # evaluation
     evaluate: bool = False
     flow_pattern_eval: str = ""

@@ -53,6 +53,10 @@ class EngineConfig:
     occlusions_min_filter: int = 7
     dtype: str = "float32"                 # 'float32' | 'bfloat16'
     seed: int = 0
+    exact_warp: bool = False               # True: gather warp (exact reference
+                                           # semantics, ~10x slower on TPU);
+                                           # False: banded warp auto-sized to
+                                           # the video's flow range
 
 
 def _round_up(v: int, m: int) -> int:
@@ -84,8 +88,11 @@ class StylizerEngine:
         self.config = config
         self._key = jax.random.PRNGKey(config.seed)
         self._dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
+        # Model params are closed over (not traced args): XLA constant-folds
+        # the stylizer's weight-layout rewrites (phase-kernel builds) at
+        # compile time instead of re-running them every frame.
         self._jit_first = jax.jit(self._first_impl)
-        self._jit_next = jax.jit(self._next_impl)
+        self._jit_next = jax.jit(self._next_impl, static_argnames=("band",))
         self._jit_prior = jax.jit(self._stylize_with_prior, static_argnames=("erode",))
 
     # -- device-side implementations ------------------------------------
@@ -119,13 +126,12 @@ class StylizerEngine:
             y = self._run_model("vid", x)
         return jnp.clip(vgg_deprocess(y[0]), 0.0, 1.0)
 
-    def _next_impl(self, content, prev_stylized, flow, cert, key):
+    def _next_impl(self, content, prev_stylized, flow, cert, key, band=None):
         """content/prev_stylized: (H,W,3) RGB [0,1]; flow: (H,W,2) (dx,dy)
         mapping frame-i pixels to frame-(i-1) positions (backward flow);
         cert: (H,W) in [0,1]."""
-        h, w = content.shape[0], content.shape[1]
         cert = filters.min_filter(cert, self.config.occlusions_min_filter)
-        prior_rgb = warp.bilinear_warp(prev_stylized, flow)
+        prior_rgb = warp.bilinear_warp(prev_stylized, flow, band=band)
         return self._stylize_with_prior(content, prior_rgb, cert, key)
 
     def _stylize_with_prior(self, content, prior_rgb, cert, key, erode: bool = False):
@@ -167,12 +173,17 @@ class StylizerEngine:
         prev_stylized, _ = self._pad(prev_stylized)
         flow, _ = self._pad(flow)
         cert, _ = self._pad(cert, mode="constant")  # padded area = occluded
+        if self.config.exact_warp:
+            band = None
+        else:
+            band = warp.flow_band(float(np.abs(np.asarray(flow)).max()))
         out = self._jit_next(
             jnp.asarray(content),
             jnp.asarray(prev_stylized),
             jnp.asarray(flow),
             jnp.asarray(cert),
             self._next_key(),
+            band=band,
         )
         return np.asarray(out)[:h, :w]
 

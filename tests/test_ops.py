@@ -166,3 +166,46 @@ def test_tv_loss_gradient_matches_reference_backward(rng):
     ref[:, 1:, :-1] -= y_diff
     ref *= strength
     np.testing.assert_allclose(g, ref, atol=1e-5)
+
+
+def test_banded_warp_exact_for_constant_flow(rng):
+    img = rng.random((20, 30, 3)).astype(np.float32)
+    flow = np.zeros((20, 30, 2), np.float32)
+    flow[..., 0] = 3.25
+    flow[..., 1] = -2.5
+    a = np.asarray(warp.bilinear_warp(jnp.asarray(img), jnp.asarray(flow)))
+    b = np.asarray(warp.bilinear_warp(jnp.asarray(img), jnp.asarray(flow), band=8))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_banded_warp_exact_for_axis_separable_flow(rng):
+    """dy varying only with y and dx only with x -> banded == gather."""
+    img = rng.random((24, 24, 2)).astype(np.float32)
+    flow = np.zeros((24, 24, 2), np.float32)
+    flow[..., 0] = np.linspace(-3, 3, 24)[None, :]
+    flow[..., 1] = np.linspace(2, -2, 24)[:, None]
+    a = np.asarray(warp.bilinear_warp(jnp.asarray(img), jnp.asarray(flow)))
+    b = np.asarray(warp.bilinear_warp(jnp.asarray(img), jnp.asarray(flow), band=8))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_banded_warp_close_on_smooth_flow_and_image(rng):
+    """Banded-vs-gather deviation scales with image gradient x flow gradient;
+    for smooth frames and smooth flow (the real-video case) it is sub-1e-3.
+    (On white-noise images at motion edges it can be large - that's what the
+    exact_warp option and the occlusion mask are for.)"""
+    y = np.linspace(0, np.pi, 128)
+    img = np.stack([np.outer(np.sin(y * k), np.cos(y)) for k in (1, 2, 3)], -1)
+    img = (img * 0.5 + 0.5).astype(np.float32)
+    smooth = np.sin(y)[:, None] * np.cos(y)[None, :]
+    flow = np.stack([smooth * 4, smooth * 3], -1).astype(np.float32)
+    a = np.asarray(warp.bilinear_warp(jnp.asarray(img), jnp.asarray(flow)))
+    b = np.asarray(warp.bilinear_warp(jnp.asarray(img), jnp.asarray(flow), band=8))
+    assert np.abs(a - b).mean() < 1e-3
+
+
+def test_flow_band_buckets():
+    assert warp.flow_band(0.0) == 8
+    assert warp.flow_band(7.5) == 8
+    assert warp.flow_band(8.5) == 16
+    assert warp.flow_band(100.0) == 128
