@@ -25,12 +25,15 @@ import jax.numpy as jnp
 
 
 def _warp_single(img, flow):
-    """img: (H, W, C); flow: (H, W, 2) (dx, dy). Returns (H, W, C)."""
+    """img: (H, W, C); flow: (Ho, Wo, 2) (dx, dy). Returns (Ho, Wo, C) — the
+    output grid is the flow's grid (usually H=Ho, W=Wo; the VR equirect map
+    samples a 6-face strip into a differently-sized panorama)."""
     h, w = img.shape[0], img.shape[1]
+    ho, wo = flow.shape[0], flow.shape[1]
     compute_dtype = jnp.promote_types(img.dtype, jnp.float32)
 
-    xs = jax.lax.broadcasted_iota(compute_dtype, (h, w), 1)
-    ys = jax.lax.broadcasted_iota(compute_dtype, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(compute_dtype, (ho, wo), 1)
+    ys = jax.lax.broadcasted_iota(compute_dtype, (ho, wo), 0)
     xf = xs + flow[..., 0].astype(compute_dtype)
     yf = ys + flow[..., 1].astype(compute_dtype)
 
@@ -49,7 +52,7 @@ def _warp_single(img, flow):
     def tap(yi, xi, weight):
         valid = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
         idx = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
-        vals = jnp.take(img_flat, idx.reshape(-1), axis=0).reshape(h, w, -1)
+        vals = jnp.take(img_flat, idx.reshape(-1), axis=0).reshape(ho, wo, -1)
         return vals * (weight * valid.astype(compute_dtype))[..., None]
 
     out = (

@@ -156,18 +156,21 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def _loss_fn(self, params, imgs, flows, certs, key, num_steps: int, first_mode: str):
-        """imgs: (num_steps+1, N, H, W, 3) VGG space; flows: (num_steps, N, H, W, 2);
-        certs: (num_steps, N, H, W, 1). Reference closure f (:245-379)."""
+        """imgs: tuple of num_steps+1 (N, H, W, 3) VGG-space arrays (shapes
+        may differ per step — the vr source's frame 1 is a border strip);
+        flows: tuple of (N, Hf, Wf, 2); certs: tuple of (N, Hf, Wf, 1).
+        Reference closure f (:245-379)."""
         opt = self.opt
-        n, h, w = imgs.shape[1], imgs.shape[2], imgs.shape[3]
-        certs = filters.min_filter(certs, opt.reliable_map_min_filter)
+        n, h, w = imgs[-1].shape[0], imgs[-1].shape[1], imgs[-1].shape[2]
+        certs = tuple(filters.min_filter(c, opt.reliable_map_min_filter) for c in certs)
 
         def model_fwd(p, x):
             return stylizer.apply(p, self.spec, x.astype(self._dtype)).astype(jnp.float32)
 
         # frame 1 (:276-285) — never on the gradient path
+        h0, w0 = imgs[0].shape[1], imgs[0].shape[2]
         if first_mode == "zeros":
-            out1 = jnp.zeros((n, h, w, 3), jnp.float32)
+            out1 = jnp.zeros((n, h0, w0, 3), jnp.float32)
         elif first_mode == "image_model":
             spec_i, params_i = self.image_model
             out1 = stylizer.apply(params_i, spec_i, imgs[0].astype(self._dtype)).astype(
@@ -175,7 +178,7 @@ class Trainer:
             )
         else:  # 'self': the video model with zero prior + zero certainty
             x0 = jnp.concatenate(
-                [imgs[0], jnp.zeros((n, h, w, 4), imgs.dtype)], axis=-1
+                [imgs[0], jnp.zeros((n, h0, w0, 4), imgs[0].dtype)], axis=-1
             )
             out1 = model_fwd(params, x0)
         out1 = jax.lax.stop_gradient(out1)
@@ -272,12 +275,7 @@ class Trainer:
                 imgs, flows, certs = data_mod.SYNTHETIC_SOURCES[source](
                     images, num_steps, self.data_rng
                 )
-        return (
-            np.stack(imgs),
-            np.stack(flows),
-            np.stack(certs),
-            num_steps,
-        )
+        return tuple(imgs), tuple(flows), tuple(certs), num_steps
 
     def _first_mode(self, source: str) -> str:
         if source == "single_image":
@@ -303,7 +301,7 @@ class Trainer:
             self.key, sub = jax.random.split(self.key)
             step = self._get_step(num_steps, self._first_mode(source))
             batch = jax.tree_util.tree_map(
-                lambda x: jax.device_put(x, _shard_axis1(self.mesh, x)), (imgs, flows, certs)
+                lambda x: jax.device_put(x, _shard_batch0(self.mesh, x)), (imgs, flows, certs)
             )
             self.params, self.opt_state, loss, aux, out2, warped = step(
                 self.params, self.opt_state, *batch, sub, jnp.asarray(lr, jnp.float32)
@@ -453,16 +451,21 @@ def _eval_loss(trainer: Trainer, imgs, flows, certs, key, num_steps, first_mode)
             functools.partial(trainer._loss_fn, num_steps=num_steps, first_mode=first_mode)
         )
         _EVAL_CACHE[cache_key] = fn
-    loss, (aux, _, _) = fn(trainer.params, jnp.asarray(imgs), jnp.asarray(flows),
-                           jnp.asarray(certs), key)
+    loss, (aux, _, _) = fn(
+        trainer.params,
+        tuple(jnp.asarray(a) for a in imgs),
+        tuple(jnp.asarray(a) for a in flows),
+        tuple(jnp.asarray(a) for a in certs),
+        key,
+    )
     return loss, aux
 
 
-def _shard_axis1(mesh, x):
-    """Batches are stacked (steps, N, ...) — shard axis 1 (N) over 'data'."""
+def _shard_batch0(mesh, x):
+    """Each per-step array is (N, ...) — shard axis 0 over 'data'."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    return NamedSharding(mesh, P(None, "data"))
+    return NamedSharding(mesh, P("data"))
 
 
 def _scale_shorter_side(img: np.ndarray, size: int) -> np.ndarray:

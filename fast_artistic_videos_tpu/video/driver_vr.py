@@ -1,0 +1,361 @@
+"""Spherical (360°) video driver — the equivalent of fast_artistic_video_vr.lua.
+
+Each equirectangular frame arrives as 6 overlapping cube faces (layout
+``2 / 3 6 4 5 / 1``), stylized in the fixed order (6, 1, 2, 5, 3, 4)
+(fast_artistic_video_vr.lua:96-103). Temporal and spatial consistency come
+from the engine's prior image:
+
+  * spatial: borders of already-stylized neighbor faces of the SAME frame,
+    perspective-warped into this face's frame and marked certain
+    (:204-237, :239-272) — a 6-way spatial partition with halo exchange.
+  * temporal: for frame f>1, this face's previous stylized result warped by
+    optical flow, blended with the border prior via gradient masks
+    (:275-295).
+
+After all 6 faces of a frame, neighbor borders are blended into every face
+(blend_other_sides, :454-509), median-filtered, and written as face PNGs
+plus optional equirectangular / cubemap-strip images (:511-559).
+
+All indexing here is by *processing position* pos 0..5 (the reference's
+`last_segments` indexing); `PROC_ORDER[pos]` is the face number used in
+file names.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import io
+from ..core.config import StylizeOptions, format_flow_name
+from ..ops import filters, warp
+from ..utils import pipeline
+from . import vr_geometry as vr
+from .engine import StylizerEngine
+
+PROC_ORDER = (6, 1, 2, 5, 3, 4)
+
+
+@dataclasses.dataclass
+class VROptions(StylizeOptions):
+    start_frame: int = 1
+    overlap_pixel_w: int = 20
+    overlap_pixel_h: int = 20
+    out_equi: bool = False
+    out_equi_w: int = 768
+    out_equi_h: int = 768
+    out_cubemap: bool = False
+    smooth_certainty: bool = False
+    create_inconsistent_border: bool = False
+    no_consistency_eval: bool = False
+
+
+class _Geometry:
+    """Per-resolution precomputed warp maps and blend masks
+    (fast_artistic_video_vr.lua:164-197)."""
+
+    def __init__(self, hplus: int, wplus: int, opt: VROptions):
+        ow, oh = opt.overlap_pixel_w, opt.overlap_pixel_h
+        self.hplus, self.wplus = hplus, wplus
+        self.map_left = vr.perspective_warp_map_left(hplus, ow, wplus)
+        self.map_right = vr.perspective_warp_map_right(hplus, ow, wplus)
+        self.map_top = vr.perspective_warp_map_top(wplus, oh, hplus)
+        self.map_bottom = vr.perspective_warp_map_bottom(wplus, oh, hplus)
+
+        ones = np.ones((hplus, wplus, 1), np.float32)
+        self.mask_left = self._warp(ones, self.map_left)[..., 0]
+        self.mask_right = self._warp(ones, self.map_right)[..., 0]
+        self.mask_top = self._warp(ones, self.map_top)[..., 0]
+        self.mask_bottom = self._warp(ones, self.map_bottom)[..., 0]
+        msum = self.mask_left + self.mask_right + self.mask_top + self.mask_bottom
+        self.mask_all_div = np.maximum(msum, 1.0)
+        self.mask_all = np.minimum(msum, 1.0)
+
+        gw = ow - 10
+        gh = oh - 10
+        gm_left = np.concatenate(
+            [np.asarray(filters.gradient_mask_w_dec(hplus, gw)),
+             np.zeros((hplus, wplus - gw), np.float32)], axis=1)
+        gm_right = np.concatenate(
+            [np.zeros((hplus, wplus - gw), np.float32),
+             np.asarray(filters.gradient_mask_w_inc(hplus, gw))], axis=1)
+        gm_top = np.concatenate(
+            [np.asarray(filters.gradient_mask_h_dec(gh, wplus)),
+             np.zeros((hplus - gh, wplus), np.float32)], axis=0)
+        gm_bottom = np.concatenate(
+            [np.zeros((hplus - gh, wplus), np.float32),
+             np.asarray(filters.gradient_mask_h_inc(gh, wplus))], axis=0)
+        self.grad_left, self.grad_right = gm_left, gm_right
+        self.grad_top, self.grad_bottom = gm_top, gm_bottom
+        self.grad_left_right = np.maximum(gm_left, gm_right)
+        self.grad_all = np.maximum(self.grad_left_right, np.maximum(gm_top, gm_bottom))
+
+        self.equi_map = None
+        if opt.out_equi:
+            r = opt.median_filter // 2
+            self.equi_map = vr.cube_to_equirectangular_map(
+                wplus - 2 * r, hplus - 2 * r, ow - r, oh - r,
+                opt.out_equi_w, opt.out_equi_h,
+            )
+
+    @staticmethod
+    def _warp(img: np.ndarray, flow: np.ndarray) -> np.ndarray:
+        return np.asarray(warp.bilinear_warp(jnp.asarray(img), jnp.asarray(flow)))
+
+
+class VRDriver:
+    def __init__(self, engine: StylizerEngine, opt: VROptions, eval_fn=None):
+        self.engine = engine
+        self.opt = opt
+        self.eval_fn = eval_fn
+        self.eval_rows: List[List[float]] = []
+        self.geo: Optional[_Geometry] = None
+        self.segments: List[Optional[np.ndarray]] = [None] * 6       # current frame
+        self.prev_segments: List[Optional[np.ndarray]] = [None] * 6  # previous frame (blended)
+        self.last_content: Optional[np.ndarray] = None
+
+    # -- helpers ----------------------------------------------------------
+
+    def _warp(self, img, flow):
+        return self.geo._warp(img, flow)
+
+    def _face_path(self, file_idx: int, pos: int) -> str:
+        return self.opt.input_pattern % (file_idx, PROC_ORDER[pos])
+
+    def load_face(self, i: int) -> Optional[np.ndarray]:
+        pos = (i - 1) % 6
+        file_idx = (i - 1) // 6 + self.opt.start_frame
+        path = self._face_path(file_idx, pos)
+        if not os.path.exists(path):
+            return None
+        img = io.load_image(path)
+        if self.geo is None:
+            self.geo = _Geometry(img.shape[0], img.shape[1], self.opt)
+        self.last_content = img
+        return img
+
+    def load_cert(self, i: int) -> np.ndarray:
+        """Border certainty from already-stylized neighbors plus the
+        occlusion map for the temporal prior (:204-237)."""
+        opt = self.opt
+        g = self.geo
+        pos = (i - 1) % 6
+        file_idx = (i - 1) // 6 + opt.start_frame
+        border = np.zeros((g.hplus, g.wplus), np.float32)
+        if not opt.create_inconsistent_border:
+            if pos in (1, 3, 4, 5):
+                border = np.maximum(border, g.mask_left)
+            if pos in (2, 3, 4, 5):
+                border = np.maximum(border, g.mask_right)
+            if pos in (4, 5):
+                border = np.maximum(border, g.mask_top)
+                border = np.maximum(border, g.mask_bottom)
+        if i >= 7 and not opt.create_inconsistent:
+            name = format_flow_name(opt.occlusions_pattern, file_idx - 1, file_idx,)
+            name = name % PROC_ORDER[pos] if "%" in name else name
+            pipeline.wait_for_file(name)
+            cert_frame = io.load_image(name, num_channels=1)[..., 0]
+            if opt.invert_occlusion:
+                cert_frame = 1.0 - cert_frame
+            return np.maximum(cert_frame, border)
+        return border
+
+    def make_prior(self, i: int, cert_eroded: np.ndarray) -> np.ndarray:
+        """Spatial border prior + temporal blend (:239-302). `cert_eroded`
+        is the min-filtered certainty (the reference engine passes the
+        eroded mask into this callback, core.lua:162,207)."""
+        opt = self.opt
+        g = self.geo
+        pos = (i - 1) % 6
+        file_idx = (i - 1) // 6 + opt.start_frame
+        seg = self.segments
+        hp, wp = g.hplus, g.wplus
+        border = np.zeros((hp, wp, 3), np.float32)
+        div = g.mask_all_div[..., None]
+
+        if not opt.create_inconsistent_border:
+            if pos == 1:
+                border = self._warp(seg[0], g.map_left)
+            elif pos == 2:
+                border = self._warp(seg[0], g.map_right)
+            elif pos == 3:
+                border = self._warp(seg[1], g.map_left) + self._warp(seg[2], g.map_right)
+            elif pos == 4:
+                border = (
+                    self._warp(vr.rotate90(seg[1]), g.map_left) / div
+                    + self._warp(vr.rotate_minus90(seg[2]), g.map_right) / div
+                    + self._warp(seg[3], g.map_top) / div
+                    + self._warp(vr.rotate180(seg[0]), g.map_bottom) / div
+                )
+            elif pos == 5:
+                border = (
+                    self._warp(vr.rotate_minus90(seg[1]), g.map_left) / div
+                    + self._warp(vr.rotate90(seg[2]), g.map_right) / div
+                    + self._warp(vr.rotate180(seg[0]), g.map_top) / div
+                    + self._warp(seg[3], g.map_bottom) / div
+                )
+
+        if i >= 7 and not opt.create_inconsistent:
+            flow_name = format_flow_name(opt.flow_pattern, file_idx - 1, file_idx)
+            flow_name = flow_name % PROC_ORDER[pos] if "%" in flow_name else flow_name
+            pipeline.wait_for_file(flow_name)
+            flow = io.read_flo(flow_name)
+            prev_warped = self._warp(self.prev_segments[pos], flow)
+            if pos == 0:
+                return prev_warped
+            grad_masks = [None, g.grad_right, g.grad_left, g.grad_left_right,
+                          g.grad_all, g.grad_all]
+            masks = [None, g.mask_left, g.mask_right, g.mask_left + g.mask_right,
+                     g.mask_all, g.mask_all]
+            cert_inv = 1.0 - cert_eroded
+            gm = grad_masks[pos]
+            mask = np.maximum(gm, np.ceil(gm) * cert_inv) * masks[pos]
+            mask = mask[..., None]
+            return prev_warped * (1.0 - mask) + border * mask
+        return border
+
+    def smooth_cert_mask(self, pos: int) -> Optional[np.ndarray]:
+        """The optional flow_mask return of the reference prior callback
+        (:296-301): a blocky >=0.25 mask derived from the gradient mask."""
+        g = self.geo
+        grad = [None, g.grad_right, g.grad_left, g.grad_left_right,
+                g.grad_all, g.grad_all][pos] if pos > 0 else None
+        if grad is None:
+            return None
+        return np.maximum(np.sign(np.maximum(grad - 0.5, 0.0)), 0.25)
+
+    # -- output -----------------------------------------------------------
+
+    def blend_other_sides(self) -> List[np.ndarray]:
+        """Cross-face blend after a full frame (:454-509)."""
+        g = self.geo
+        s = self.segments
+        gm = g.grad_all[..., None]
+        div = g.mask_all_div[..., None]
+        w = self._warp
+        r90, rm90, r180 = vr.rotate90, vr.rotate_minus90, vr.rotate180
+
+        def combine(a, b, c, d):
+            return (a + b + c + d) / div
+
+        borders = [
+            combine(w(s[1], g.map_right), w(s[2], g.map_left),
+                    w(r180(s[4]), g.map_bottom), w(r180(s[5]), g.map_top)),
+            combine(w(s[0], g.map_left), w(s[3], g.map_right),
+                    w(rm90(s[4]), g.map_bottom), w(r90(s[5]), g.map_top)),
+            combine(w(s[0], g.map_right), w(s[3], g.map_left),
+                    w(r90(s[4]), g.map_bottom), w(rm90(s[5]), g.map_top)),
+            combine(w(s[1], g.map_left), w(s[2], g.map_right),
+                    w(s[4], g.map_bottom), w(s[5], g.map_top)),
+            combine(w(r180(s[0]), g.map_bottom), w(r90(s[1]), g.map_left),
+                    w(rm90(s[2]), g.map_right), w(s[3], g.map_top)),
+            combine(w(r180(s[0]), g.map_top), w(rm90(s[1]), g.map_left),
+                    w(r90(s[2]), g.map_right), w(s[3], g.map_bottom)),
+        ]
+        return [s[p] * (1 - gm) + borders[p] * gm for p in range(6)]
+
+    def _save_frame_outputs(self, file_idx: int) -> None:
+        opt = self.opt
+        g = self.geo
+        self.prev_segments = self.blend_other_sides()
+        mf = opt.median_filter
+        if mf > 0:
+            sides = [
+                np.asarray(filters.median_filter(jnp.asarray(x), mf))
+                for x in self.prev_segments
+            ]
+        else:
+            sides = list(self.prev_segments)
+        r = mf // 2
+        for pos in range(6):
+            io.save_image(f"{opt.output_prefix}{file_idx}_{pos}.png",
+                          np.clip(self.prev_segments[pos], 0, 1))
+        if opt.out_equi and g.equi_map is not None:
+            strip = np.concatenate(
+                [sides[0], sides[1], sides[2], sides[3],
+                 vr.rotate180(sides[4]), vr.rotate180(sides[5])], axis=1)
+            equi = self._warp(strip, g.equi_map)
+            io.save_image(f"{opt.output_prefix}-{file_idx:05d}_equi.png",
+                          np.clip(equi, 0, 1))
+        if opt.out_cubemap:
+            ow = opt.overlap_pixel_w // 2 - r
+            oh = opt.overlap_pixel_h // 2 - r
+
+            def crop(x):
+                return x[oh : x.shape[0] - oh, ow : x.shape[1] - ow]
+
+            cubemap = np.concatenate(
+                [crop(sides[3]), crop(sides[0]), crop(vr.rotate90(sides[4])),
+                 crop(vr.rotate_minus90(sides[5])), crop(sides[2]), crop(sides[1])],
+                axis=1)
+            io.save_image(f"{opt.output_prefix}-{file_idx:05d}_cubemap.png",
+                          np.clip(cubemap, 0, 1))
+
+    # -- main loop --------------------------------------------------------
+
+    def _is_single(self, i: int) -> bool:
+        if self.opt.create_inconsistent:
+            return i % 6 == 1
+        return i == 1
+
+    def run(self, progress: bool = True) -> int:
+        opt = self.opt
+        n_indices = opt.num_frames * 6
+        start = 1
+        if opt.continue_with > 1:
+            # resume: reload the previous frame's blended faces (:576-583)
+            for pos in range(6):
+                path = f"{opt.output_prefix}{opt.continue_with}_{pos}.png"
+                self.prev_segments[pos] = io.load_image(path)
+            start = opt.continue_with * 6 + 1
+            probe = self.load_face(start)
+            if probe is None:
+                return 0
+        count = 0
+        for i in range(start, n_indices + 1):
+            img = self.load_face(i)
+            if img is None:
+                break
+            t0 = time.monotonic()
+            pos = (i - 1) % 6
+            file_idx = (i - 1) // 6 + opt.start_frame
+            if self._is_single(i):
+                stylized = self.engine.stylize_first(img)
+            else:
+                cert = self.load_cert(i)
+                cert_eroded = np.asarray(
+                    filters.min_filter(jnp.asarray(cert), opt.occlusions_min_filter)
+                )
+                prior = self.make_prior(i, cert_eroded)
+                input_mask = cert_eroded
+                if opt.smooth_certainty:
+                    fm = self.smooth_cert_mask(pos)
+                    if fm is not None:
+                        input_mask = np.minimum(cert_eroded, fm)
+                stylized = self.engine.stylize_with_prior(
+                    img, prior.astype(np.float32), input_mask, erode_cert=False
+                )
+            self.segments[pos] = stylized
+            if progress:
+                print(f"frame {file_idx} face {PROC_ORDER[pos]}: "
+                      f"{(time.monotonic()-t0)*1000:.1f} ms")
+            if self.eval_fn is not None:
+                row = self.eval_fn(self, i)
+                if row is not None:
+                    self.eval_rows.append(list(row))
+            if pos == 5:
+                self._save_frame_outputs(file_idx)
+            count += 1
+        if self.eval_rows and opt.evaluation_file:
+            cols = list(zip(*self.eval_rows))
+            with open(opt.evaluation_file, "a") as f:
+                for series in cols:
+                    f.write(";".join(str(v) for v in series) + "\n")
+                for series in cols:
+                    f.write(str(sum(series) / max(1, len(series))) + "\n")
+        return count

@@ -229,3 +229,34 @@ def test_gradient_only_through_last_step(coco_h5):
     n_full = grad_norm(True)
     assert n_last > 0
     assert abs(n_last - n_full) / max(n_last, 1e-9) > 1e-4
+
+
+def test_vr_data_source(rng):
+    from fast_artistic_videos_tpu.train import data_vr
+
+    images = rng.random((2, 96, 96, 3)).astype(np.float32)
+    imgs, flows, certs = data_vr.vr_batch(images, np.random.default_rng(0), (256, 256))
+    assert len(imgs) == 2 and len(flows) == 1 and len(certs) == 1
+    strip, full = imgs
+    assert full.shape == (2, 256, 256, 3)
+    assert strip.shape[0] == 2 and strip.shape[3] == 3
+    # one strip dimension is the 64-wide border
+    assert 64 in (strip.shape[1], strip.shape[2])
+    assert flows[0].shape == (2, 256, 256, 2)
+    assert certs[0].shape == (2, 256, 256, 1)
+    # certainty is partial: the strip covers only a border region
+    assert 0.0 < certs[0].mean() < 0.9
+    # vr geometry needs the reference's >=256 training size
+    with pytest.raises(ValueError):
+        data_vr.vr_batch(images, np.random.default_rng(0), (64, 64))
+
+
+def test_trainer_with_vr_source(coco_h5):
+    opt = _opts(coco_h5, data_mix="vr:1", num_iterations=2,
+                train_img_size="256:256",
+                percep_loss_weight=0.0)
+    tr = Trainer(opt)
+    tr.train(log_fn=lambda *a: None)
+    assert tr.iteration == 2
+    leaves = jax.tree_util.tree_leaves(tr.params)
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)

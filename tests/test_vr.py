@@ -1,0 +1,181 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from fast_artistic_videos_tpu.core import io
+from fast_artistic_videos_tpu.ops import warp
+from fast_artistic_videos_tpu.video import vr_geometry as vr
+from fast_artistic_videos_tpu.video.driver_vr import PROC_ORDER, VRDriver, VROptions
+from fast_artistic_videos_tpu.video.engine import EngineConfig, StylizerEngine
+
+HP, WP = 64, 64
+OVERLAP = 16
+
+
+# ---------------------------------------------------------------------------
+# geometry
+# ---------------------------------------------------------------------------
+
+def test_warp_map_left_covers_right_strip():
+    m = vr.perspective_warp_map_left(HP, OVERLAP, WP)
+    assert m.shape == (HP, WP, 2)
+    # columns outside the right overlap strip are sentinel (unmapped)
+    assert np.all(m[:, : WP - OVERLAP] == vr.SENTINEL)
+    assert np.any(m[:, WP - OVERLAP :] != vr.SENTINEL)
+    # warping ones produces a mask supported only on the strip
+    ones = jnp.ones((HP, WP, 1))
+    mask = np.asarray(warp.bilinear_warp(ones, jnp.asarray(m)))[..., 0]
+    assert mask[:, : WP - OVERLAP].max() == 0.0
+    assert mask[HP // 2, WP - 2] > 0.5
+
+
+def test_warp_map_right_structure():
+    ml = vr.perspective_warp_map_left(HP, OVERLAP, WP)
+    mr = vr.perspective_warp_map_right(HP, OVERLAP, WP)
+    assert np.all(mr[:, OVERLAP:] == vr.SENTINEL)
+    # left map samples leftward (dx < 0 pulls content from the left face
+    # half); right map samples rightward
+    assert ml[:, WP - OVERLAP :, 0].max() < 0
+    assert mr[:, :OVERLAP, 0].min() > 0
+    # vertical offsets roughly mirror (reference formulas are off-by-one
+    # asymmetric between the two sides, so only approximate)
+    np.testing.assert_allclose(
+        ml[:, WP - OVERLAP :, 1], mr[:, :OVERLAP, 1][:, ::-1], atol=3.0
+    )
+
+
+def test_warp_map_top_bottom_transpose_of_left_right():
+    mt = vr.perspective_warp_map_top(WP, OVERLAP, HP)
+    ml = vr.perspective_warp_map_left(HP, OVERLAP, WP)
+    # top map's (dy, dx) equals left map's (dx, dy) transposed
+    np.testing.assert_allclose(mt[:, :, 1], ml[:, :, 0].T, atol=1e-4)
+    np.testing.assert_allclose(mt[:, :, 0], ml[:, :, 1].T, atol=1e-4)
+    mb = vr.perspective_warp_map_bottom(WP, OVERLAP, HP)
+    assert np.all(mb[OVERLAP:, :] == vr.SENTINEL)
+
+
+def test_equirectangular_map_in_range():
+    m = vr.cube_to_equirectangular_map(32, 32, 8, 8, 64, 32)
+    assert m.shape == (32, 64, 2)
+    xs = np.arange(64)[None, :] + m[..., 0]
+    ys = np.arange(32)[:, None] + m[..., 1]
+    # samples must land inside the 6-face strip (6*32 wide, 32 tall)
+    assert xs.min() >= 0 and xs.max() <= 6 * 32
+    assert ys.min() >= -1 and ys.max() <= 32
+
+
+def test_rotations_match_reference_semantics():
+    x = np.arange(12, dtype=np.float32).reshape(3, 4, 1)
+    r = vr.rotate90(x)
+    assert r.shape == (4, 3, 1)
+    # reference rotate90 = transpose then reverse rows
+    np.testing.assert_array_equal(r[..., 0], x[..., 0].T[::-1])
+    np.testing.assert_array_equal(vr.rotate180(x), x[::-1, ::-1])
+    np.testing.assert_array_equal(
+        vr.rotate_minus90(vr.rotate90(x)), x
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver mechanics (echo engine exposes the prior at the output)
+# ---------------------------------------------------------------------------
+
+def _echo_engine():
+    return StylizerEngine(
+        lambda p, x: x[..., 3:6],
+        params_vid=None,
+        stride_multiple=1,
+        config=EngineConfig(occlusions_min_filter=3),
+    )
+
+
+@pytest.fixture
+def vr_clip(tmp_path, rng):
+    d = tmp_path
+    (d / "flow").mkdir()
+    for f in (1, 2):
+        for face in range(1, 7):
+            img = rng.random((HP, WP, 3)).astype(np.float32)
+            io.save_image(str(d / f"f{f:04d}_{face}.ppm"), img)
+    for face in range(1, 7):
+        flow = np.zeros((HP, WP, 2), np.float32)
+        io.write_flo(str(d / "flow" / f"backward_2_1_{face}.flo"), flow)
+        cert = np.full((HP, WP), 255, np.uint8)
+        io.write_pgm(str(d / "flow" / f"reliable_2_1_{face}.pgm"), cert)
+    return d
+
+
+def test_vr_driver_runs_two_frames(vr_clip):
+    opt = VROptions(
+        input_pattern=str(vr_clip / "f%04d_%d.ppm"),
+        flow_pattern=str(vr_clip / "flow" / "backward_[%d]_{%d}_%d.flo"),
+        occlusions_pattern=str(vr_clip / "flow" / "reliable_[%d]_{%d}_%d.pgm"),
+        output_prefix=str(vr_clip / "out" / "o"),
+        num_frames=2,
+        overlap_pixel_w=OVERLAP,
+        overlap_pixel_h=OVERLAP,
+        out_cubemap=True,
+        median_filter=3,
+    )
+    driver = VRDriver(_echo_engine(), opt)
+    n = driver.run(progress=False)
+    assert n == 12
+    import os
+
+    for pos in range(6):
+        assert os.path.exists(str(vr_clip / "out" / f"o1_{pos}.png"))
+        assert os.path.exists(str(vr_clip / "out" / f"o2_{pos}.png"))
+    assert os.path.exists(str(vr_clip / "out" / "o-00001_cubemap.png"))
+    cm = io.load_image(str(vr_clip / "out" / "o-00001_cubemap.png"))
+    side = HP - (3 - 1) - 2 * (OVERLAP // 2 - 3 // 2)  # median shrink + crop
+    assert cm.shape == (side, 6 * side, 3)
+
+
+def test_vr_border_prior_flows_from_neighbor(vr_clip):
+    """Face at position 1 gets its right-strip prior from the face at
+    position 0 via the left warp map; with the echo engine the stylized
+    output IS that prior in the certain region."""
+    opt = VROptions(
+        input_pattern=str(vr_clip / "f%04d_%d.ppm"),
+        flow_pattern=str(vr_clip / "flow" / "backward_[%d]_{%d}_%d.flo"),
+        occlusions_pattern=str(vr_clip / "flow" / "reliable_[%d]_{%d}_%d.pgm"),
+        output_prefix=str(vr_clip / "out2" / "o"),
+        num_frames=1,
+        overlap_pixel_w=OVERLAP,
+        overlap_pixel_h=OVERLAP,
+        median_filter=0,
+    )
+    driver = VRDriver(_echo_engine(), opt)
+    driver.run(progress=False)
+    seg0 = driver.segments[0]
+    seg1 = driver.segments[1]
+    g = driver.geo
+    expected = np.asarray(
+        warp.bilinear_warp(jnp.asarray(seg0), jnp.asarray(g.map_left))
+    )
+    # compare on the eroded-certain interior of the right strip
+    region = (slice(8, HP - 8), slice(WP - OVERLAP + 4, WP - 4))
+    np.testing.assert_allclose(seg1[region], expected[region], atol=2e-2)
+
+
+def test_vr_equirect_output(vr_clip):
+    opt = VROptions(
+        input_pattern=str(vr_clip / "f%04d_%d.ppm"),
+        output_prefix=str(vr_clip / "out3" / "o"),
+        num_frames=1,
+        overlap_pixel_w=OVERLAP,
+        overlap_pixel_h=OVERLAP,
+        create_inconsistent=True,
+        out_equi=True,
+        out_equi_w=64,
+        out_equi_h=32,
+        median_filter=3,
+    )
+    driver = VRDriver(_echo_engine(), opt)
+    n = driver.run(progress=False)
+    assert n == 6
+    import os
+
+    path = str(vr_clip / "out3" / "o-00001_equi.png")
+    assert os.path.exists(path)
+    assert io.load_image(path).shape == (32, 64, 3)
