@@ -55,11 +55,26 @@ def load_model(path: str) -> Tuple[ModelSpec, Dict[str, Any], Dict[str, Any]]:
         flat = {k: z[k] for k in z.files}
     meta = json.loads(bytes(flat.pop("__meta__")).decode())
     params = _unflatten(flat)
-    spec = parse_arch(
-        meta["arch"],
-        in_channels=int(meta.get("in_channels", 7)),
-        padding_type=meta.get("padding_type", "reflect-start"),
-        use_instance_norm=bool(meta.get("use_instance_norm", True)),
-        tanh_constant=float(meta.get("tanh_constant", 150.0)),
-    )
+    if "layers" in meta:
+        # explicit layer list (t7-imported models have no arch string)
+        from .arch_dsl import LayerSpec
+
+        layers = tuple(LayerSpec(**l) for l in meta["layers"])
+        spec = ModelSpec(
+            layers=layers,
+            in_channels=int(meta.get("in_channels", 7)),
+            padding_type=meta.get("padding_type", "reflect-start"),
+            use_instance_norm=bool(meta.get("use_instance_norm", True)),
+            tanh_constant=float(meta.get("tanh_constant", 150.0)),
+            input_pad=int(meta.get("input_pad", 0)),
+            total_stride=int(meta.get("total_stride", 1)),
+        )
+    else:
+        spec = parse_arch(
+            meta["arch"],
+            in_channels=int(meta.get("in_channels", 7)),
+            padding_type=meta.get("padding_type", "reflect-start"),
+            use_instance_norm=bool(meta.get("use_instance_norm", True)),
+            tanh_constant=float(meta.get("tanh_constant", 150.0)),
+        )
     return spec, params, meta

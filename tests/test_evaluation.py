@@ -1,0 +1,124 @@
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from fast_artistic_videos_tpu.core import io
+from fast_artistic_videos_tpu.core.config import StylizeOptions
+from fast_artistic_videos_tpu.models import vgg
+from fast_artistic_videos_tpu.video import evaluation
+from fast_artistic_videos_tpu.video.driver_video import VideoDriver
+from fast_artistic_videos_tpu.video.engine import EngineConfig, StylizerEngine
+
+
+@pytest.fixture(scope="module")
+def vgg_npz(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("vgg") / "vgg16.npz")
+    params = vgg.init_params(jax.random.PRNGKey(0))
+    flat = {}
+    for layer, leaves in params.items():
+        for k, v in leaves.items():
+            flat[f"{layer}/{k}"] = np.asarray(v)
+    np.savez(path, **flat)
+    return path
+
+
+@pytest.fixture(scope="module")
+def style_png(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("style") / "style.png")
+    io.save_image(path, np.random.default_rng(0).random((48, 48, 3)).astype(np.float32))
+    return path
+
+
+def test_vgg_npz_roundtrip(vgg_npz):
+    params = evaluation.load_vgg_params(vgg_npz)
+    assert "conv01" in params and params["conv01"]["w"].shape == (3, 3, 3, 64)
+
+
+def test_temporal_error_zero_for_consistent_sequence(rng):
+    prev = rng.random((16, 16, 3)).astype(np.float32)
+    flow = np.zeros((16, 16, 2), np.float32)
+    flow[..., 0] = 2.0
+    cert = np.ones((16, 16), np.float32)
+    cert[:, -2:] = 0.0  # occluded band
+    cur = np.roll(prev, -2, axis=1)  # perfectly warped next frame
+    err = evaluation.temporal_error(prev, cur, flow, cert)
+    assert err < 1e-8
+    err2 = evaluation.temporal_error(prev, rng.random((16, 16, 3)).astype(np.float32),
+                                     flow, cert)
+    assert err2 > 1e-3
+
+
+def test_gradient_ratios_detect_seam():
+    img = np.full((32, 32, 3), 0.5, np.float32)
+    img[:, 16:] = 0.9  # hard vertical seam at x=16
+    mask = np.zeros((32, 32), np.float32)
+    mask[:, 16:] = 1.0  # mask edge aligned with the seam
+    rx, ry, rmag = evaluation.gradient_ratios(img, mask)
+    assert rx > 2.0  # seam gradients dominate the masked region
+    smooth = np.full((32, 32, 3), 0.5, np.float32)
+    rx2, _, _ = evaluation.gradient_ratios(smooth, mask)
+    assert rx2 == 0.0 or rx2 < 1.0
+
+
+def test_edge_mse():
+    a = np.zeros((8, 8, 3), np.float32)
+    b = np.ones((8, 8, 3), np.float32)
+    assert evaluation.edge_mse(a, b, "left") == 1.0
+    b2 = b.copy()
+    b2[:, -1] = 0.0
+    assert evaluation.edge_mse(a, b2, "left") == 0.0
+    assert evaluation.edge_mse_top(a, b, "bottom") == 1.0
+    b3 = b.copy()
+    b3[-1, :] = 0.0
+    assert evaluation.edge_mse_top(a, b3, "bottom") == 0.0
+
+
+def test_video_driver_with_evaluator(tmp_path, rng, vgg_npz, style_png):
+    # 3-frame clip with flow/cert both for stylization and eval
+    d = tmp_path
+    (d / "flow").mkdir()
+    base = rng.random((20, 30, 3)).astype(np.float32)
+    for i in range(1, 4):
+        io.save_image(str(d / f"frame_{i:05d}.ppm"), np.roll(base, -2 * i, axis=1))
+    for i in (2, 3):
+        flow = np.zeros((20, 24, 2), np.float32)
+        flow[..., 0] = -2.0
+        io.write_flo(str(d / "flow" / f"backward_{i}_{i-1}.flo"), flow)
+        io.write_pgm(str(d / "flow" / f"reliable_{i}_{i-1}.pgm"),
+                     np.full((20, 24), 255, np.uint8))
+    # frames are 30 wide; use 24-wide flow? keep consistent: rewrite frames at 24
+    for i in range(1, 4):
+        io.save_image(str(d / f"frame_{i:05d}.ppm"),
+                      np.roll(base, -2 * i, axis=1)[:, :24])
+
+    opt = StylizeOptions(
+        input_pattern=str(d / "frame_%05d.ppm"),
+        flow_pattern=str(d / "flow" / "backward_[%d]_{%d}.flo"),
+        occlusions_pattern=str(d / "flow" / "reliable_[%d]_{%d}.pgm"),
+        flow_pattern_eval=str(d / "flow" / "backward_[%d]_{%d}.flo"),
+        occlusions_pattern_eval=str(d / "flow" / "reliable_[%d]_{%d}.pgm"),
+        output_prefix=str(d / "out" / "o"),
+        num_frames=3,
+        evaluate=True,
+        evaluation_file=str(d / "eval.txt"),
+        loss_network=vgg_npz,
+        style_image=style_png,
+        style_image_size=32,
+    )
+    engine = StylizerEngine(
+        lambda p, x: x[..., 0:3], params_vid=None,
+        config=EngineConfig(occlusions_min_filter=3),
+    )
+    evaluator = evaluation.VideoEvaluator(opt)
+    driver = VideoDriver(engine, opt, eval_fn=evaluator)
+    driver.run(progress=False)
+    assert len(driver.eval_rows) == 3
+    # eval file: 3 series lines + 3 mean lines (core.lua:231-240 format)
+    lines = open(str(d / "eval.txt")).read().strip().split("\n")
+    assert len(lines) == 6
+    assert lines[0].count(";") == 2  # three frames per series
+    # temporal error exists and frame 1's entry is 0
+    temporal = [float(v) for v in lines[2].split(";")]
+    assert temporal[0] == 0.0
