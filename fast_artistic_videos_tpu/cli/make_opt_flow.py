@@ -1,0 +1,81 @@
+"""CLI: produce flow (.flo) and reliability (.pgm) files for a frame
+sequence — the equivalent of makeOptFlow_deepflow.sh / makeOptFlow_flownet.sh
+with the on-TPU estimator replacing DeepFlow/FlowNet2.
+
+File contract (makeOptFlow_deepflow.sh:44-64):
+  forward_<j>_<i>.flo    flow j -> j+1 (j = i-1)
+  backward_<i>_<j>.flo   flow i -> i-1
+  reliable_<i>_<j>.pgm   consistency of backward vs forward, structure from frame i
+  reliable_<j>_<i>.pgm   consistency of forward vs backward, structure from frame j
+
+Can run concurrently with the stylizer (which polls for the files, exactly
+like the reference shell pipeline).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import io
+from ..flow import consistency, estimator
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input_pattern", required=True,
+                   help="frame filename pattern, e.g. frames/frame_%%05d.ppm")
+    p.add_argument("--out_dir", required=True)
+    p.add_argument("--flow_model", required=True, help="estimator weights (.npz)")
+    p.add_argument("--start", type=int, default=1)
+    p.add_argument("--no_structure", action="store_true",
+                   help="skip the structure-tensor term of the consistency check")
+    p.add_argument("--skip_existing", action="store_true", default=True)
+    args = p.parse_args(argv)
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    est = estimator.FlowEstimator(estimator.load_params(args.flow_model))
+
+    def cert(flow1, flow2, image):
+        mask = consistency.consistency_mask(
+            jnp.asarray(flow1), jnp.asarray(flow2),
+            None if args.no_structure else jnp.asarray(image),
+        )
+        return np.asarray(mask) * 255.0
+
+    i = args.start + 1
+    prev = io.load_image(args.input_pattern % args.start) \
+        if os.path.exists(args.input_pattern % args.start) else None
+    count = 0
+    while prev is not None:
+        path = args.input_pattern % i
+        if not os.path.exists(path):
+            break
+        cur = io.load_image(path)
+        j = i - 1
+        fwd_name = os.path.join(args.out_dir, f"forward_{j}_{i}.flo")
+        bwd_name = os.path.join(args.out_dir, f"backward_{i}_{j}.flo")
+        rel_ij = os.path.join(args.out_dir, f"reliable_{i}_{j}.pgm")
+        rel_ji = os.path.join(args.out_dir, f"reliable_{j}_{i}.pgm")
+        if not (args.skip_existing and all(
+            os.path.exists(f) for f in (fwd_name, bwd_name, rel_ij, rel_ji)
+        )):
+            forward = est.flow(prev, cur)   # j -> i
+            backward = est.flow(cur, prev)  # i -> j
+            io.write_flo(fwd_name, forward)
+            io.write_flo(bwd_name, backward)
+            io.write_pgm(rel_ij, cert(backward, forward, cur))
+            io.write_pgm(rel_ji, cert(forward, backward, prev))
+            count += 1
+            print(f"pair {j}->{i} done")
+        prev = cur
+        i += 1
+    print(f"{count} pairs computed in {args.out_dir}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

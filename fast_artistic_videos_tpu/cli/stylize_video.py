@@ -67,16 +67,25 @@ def main(argv=None):
     opt = options_from_args(args)
     if not opt.input_pattern:
         p.error("--input_pattern is required")
-    if not opt.create_inconsistent and (not opt.flow_pattern or not opt.occlusions_pattern):
+    if (not opt.create_inconsistent and not opt.flow_model
+            and (not opt.flow_pattern or not opt.occlusions_pattern)):
         p.error("--flow_pattern and --occlusions_pattern are required "
-                "(or pass --create_inconsistent)")
+                "(or pass --flow_model for on-TPU flow, or --create_inconsistent)")
     engine = build_engine(opt)
+    flow_provider = None
+    if opt.flow_model:
+        from ..flow import estimator as flow_estimator
+        from ..flow.provider import StreamingFlowProvider
+
+        flow_provider = StreamingFlowProvider(
+            flow_estimator.load_params(opt.flow_model)
+        )
     eval_fn = None
     if opt.evaluate:
         from ..video.evaluation import VideoEvaluator
 
         eval_fn = VideoEvaluator(opt).__call__
-    driver = VideoDriver(engine, opt, eval_fn=eval_fn)
+    driver = VideoDriver(engine, opt, eval_fn=eval_fn, flow_provider=flow_provider)
     results = driver.run()
     if results:
         total = sum(r.seconds for r in results)

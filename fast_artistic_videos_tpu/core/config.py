@@ -179,6 +179,8 @@ class StylizeOptions:
     # numerics
     dtype: str = "float32"              # compute dtype: 'float32' | 'bfloat16'
     exact_warp: bool = False            # gather warp (exact) vs banded TPU warp
+    flow_model: str = ""                # on-TPU flow estimator weights (.npz);
+                                        # replaces flow/occlusion file patterns
     # evaluation
     evaluate: bool = False
     flow_pattern_eval: str = ""

@@ -50,10 +50,17 @@ class FrameResult:
 
 class VideoDriver:
     def __init__(self, engine: StylizerEngine, opt: StylizeOptions,
-                 eval_fn: Optional[Callable] = None):
+                 eval_fn: Optional[Callable] = None,
+                 flow_provider: Optional[Callable] = None):
+        """flow_provider: optional streaming estimator
+        (flow.provider.StreamingFlowProvider) replacing the file-based flow
+        pipeline; fed every frame in order, returns (backward_flow, cert) or
+        None for the first frame. With a provider, continue_with restarts
+        stylize their first frame independently (no previous frame exists)."""
         self.engine = engine
         self.opt = opt
-        self.eval_fn = eval_fn  # called as eval_fn(i, content, stylized, prev_stylized, prev_content)
+        self.eval_fn = eval_fn  # called as eval_fn(i, content, stylized, prev_stylized)
+        self.flow_provider = flow_provider
         self.eval_rows: List[List[float]] = []
 
     # -- input loading ----------------------------------------------------
@@ -87,7 +94,12 @@ class VideoDriver:
         if frame is None:
             return None
         first = self._is_single_image(i)
-        flow_cert = None if first else self.load_flow_cert(i)
+        if self.flow_provider is not None and not self.opt.create_inconsistent:
+            flow_cert = self.flow_provider(frame)
+            if first:
+                flow_cert = None
+        else:
+            flow_cert = None if first else self.load_flow_cert(i)
         return frame, flow_cert
 
     def _is_single_image(self, i: int) -> bool:

@@ -1,0 +1,126 @@
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fast_artistic_videos_tpu.core import io
+from fast_artistic_videos_tpu.flow import estimator, train as flow_train
+from fast_artistic_videos_tpu.flow.provider import StreamingFlowProvider
+
+
+def _smooth_image(rng, h, w):
+    a = rng.normal(size=(h, w))
+    for _ in range(20):
+        a = 0.25 * (np.roll(a, 1, 0) + np.roll(a, -1, 0) + np.roll(a, 1, 1) + np.roll(a, -1, 1))
+    img = np.stack([a, np.roll(a, 5, 0), np.roll(a, 9, 1)], -1)
+    return ((img - img.min()) / (np.ptp(img) + 1e-9)).astype(np.float32)
+
+
+def test_estimator_shapes_and_padding(rng):
+    params = estimator.init_params(jax.random.PRNGKey(0))
+    est = estimator.FlowEstimator(params)
+    img = rng.random((37, 53, 3)).astype(np.float32)  # not stride-divisible
+    flow = est.flow(img, img)
+    assert flow.shape == (37, 53, 2)
+    assert np.all(np.isfinite(flow))
+
+
+def test_multiscale_levels(rng):
+    params = estimator.init_params(jax.random.PRNGKey(0))
+    x = jnp.asarray(rng.random((1, 64, 64, 3)), jnp.float32)
+    outs = estimator.apply_multiscale(params, x, x)
+    assert len(outs) == len(estimator.PYRAMID_CHANNELS)
+    # coarsest first: sizes double
+    assert outs[0].shape[1] * 2 ** (len(outs) - 1) == outs[-1].shape[1]
+
+
+def test_random_flow_field_bounded():
+    rng = np.random.default_rng(0)
+    f = flow_train.random_flow_field(rng, 64, 64, max_shift=10)
+    assert f.shape == (64, 64, 2)
+    assert np.abs(f).max() < 40
+
+
+def test_make_pair_ground_truth_consistent(rng):
+    imgs = np.stack([_smooth_image(rng, 64, 64)])
+    img1, img2, gt = flow_train.make_pair(imgs, np.random.default_rng(1))
+    # by construction img1 == warp(img2, gt)
+    from fast_artistic_videos_tpu.ops import warp
+
+    rec = np.asarray(warp.bilinear_warp(jnp.asarray(img2), jnp.asarray(gt)))
+    np.testing.assert_allclose(rec, img1, atol=1e-5)
+
+
+def test_flow_training_reduces_epe(rng):
+    """A few hundred steps on tiny images must beat the untrained EPE on a
+    held-out pair (smoke-level convergence check)."""
+    images = np.stack([_smooth_image(np.random.default_rng(s), 32, 32) for s in range(8)])
+
+    def source():
+        idx = np.random.default_rng(0).choice(8, size=2, replace=False)
+        return images[idx]
+
+    params0 = estimator.init_params(jax.random.PRNGKey(0))
+    params = flow_train.train_flow(
+        source, iterations=60, learning_rate=3e-4, log_fn=lambda *a: None
+    )
+    hold1, hold2, gt = flow_train.make_pair(images[:2], np.random.default_rng(99))
+    f0 = estimator.apply(params0, jnp.asarray(hold1), jnp.asarray(hold2))
+    f1 = estimator.apply(params, jnp.asarray(hold1), jnp.asarray(hold2))
+    epe0 = flow_train.epe(f0, gt)
+    epe1 = flow_train.epe(f1, gt)
+    assert np.isfinite(epe1)
+    assert epe1 < epe0
+
+
+def test_streaming_provider(rng):
+    params = estimator.init_params(jax.random.PRNGKey(0))
+    provider = StreamingFlowProvider(params, use_structure=False)
+    f1 = rng.random((32, 32, 3)).astype(np.float32)
+    f2 = rng.random((32, 32, 3)).astype(np.float32)
+    assert provider(f1) is None
+    out = provider(f2)
+    assert out is not None
+    flow, cert = out
+    assert flow.shape == (32, 32, 2)
+    assert cert.shape == (32, 32) and 0.0 <= cert.min() and cert.max() <= 1.0
+    provider.reset()
+    assert provider(f1) is None
+
+
+def test_make_opt_flow_cli(tmp_path, rng):
+    from fast_artistic_videos_tpu.cli import make_opt_flow
+
+    params = estimator.init_params(jax.random.PRNGKey(0))
+    wpath = str(tmp_path / "flow.npz")
+    estimator.save_params(wpath, params)
+    for i in (1, 2, 3):
+        io.save_image(str(tmp_path / f"frame_{i:05d}.ppm"),
+                      rng.random((32, 32, 3)).astype(np.float32))
+    out_dir = str(tmp_path / "flow")
+    rc = make_opt_flow.main([
+        "--input_pattern", str(tmp_path / "frame_%05d.ppm"),
+        "--out_dir", out_dir,
+        "--flow_model", wpath,
+        "--no_structure",
+    ])
+    assert rc == 0
+    for name in ("forward_1_2.flo", "backward_2_1.flo", "reliable_2_1.pgm",
+                 "reliable_1_2.pgm", "forward_2_3.flo", "backward_3_2.flo"):
+        assert os.path.exists(os.path.join(out_dir, name)), name
+    flow = io.read_flo(os.path.join(out_dir, "backward_2_1.flo"))
+    assert flow.shape == (32, 32, 2)
+
+
+def test_params_save_load_roundtrip(tmp_path):
+    params = estimator.init_params(jax.random.PRNGKey(1))
+    p = str(tmp_path / "w.npz")
+    estimator.save_params(p, params)
+    loaded = estimator.load_params(p)
+    for name in params:
+        for leaf in params[name]:
+            np.testing.assert_array_equal(
+                np.asarray(params[name][leaf]), np.asarray(loaded[name][leaf])
+            )
