@@ -85,3 +85,23 @@ def test_trainer_multidevice_smoke(tmp_path):
     assert tr.iteration == 2
     assert all(np.isfinite(x) for x in jax.tree_util.tree_leaves(
         jax.tree_util.tree_map(lambda a: float(jnp.sum(a)), tr.params)))
+
+
+def test_spatial_sharded_stylizer_matches_single_device(rng):
+    """GSPMD height-sharding of the canonical net: XLA inserts the conv halo
+    exchanges; results must match the unsharded forward."""
+    from fast_artistic_videos_tpu.models import arch_dsl, stylizer
+    from fast_artistic_videos_tpu.parallel import spatial
+
+    spec = arch_dsl.parse_arch("c3s1-8,d16,R16,U2,c3s1-3", in_channels=7)
+    params = stylizer.init_params(jax.random.PRNGKey(0), spec)
+    x = jnp.asarray(rng.random((1, 64, 64, 7)), jnp.float32)
+    ref = np.asarray(stylizer.apply(params, spec, x))
+
+    sp = spatial.SpatialStylizer(
+        lambda p, a: stylizer.apply(p, spec, a), params,
+        mesh=spatial.spatial_mesh(8),
+    )
+    out = sp(x)
+    assert len(out.sharding.device_set) == 8  # stayed distributed
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-3)
