@@ -128,8 +128,12 @@ class VideoDriver:
 
         results: List[FrameResult] = []
         writer = pipeline.AsyncWriter()
-        last_stylized: Optional[np.ndarray] = None
+        # the recurrence carry stays ON DEVICE; the host copy for PNG/eval is
+        # materialized in the writer thread, overlapped with the next frame
+        last_stylized = None
+        last_stylized_host: Optional[np.ndarray] = None
         scale = opt.scale_factor
+        need_host_prev = self.eval_fn is not None
 
         try:
             for i, item in pipeline.Prefetcher(self._load_inputs, indices):
@@ -150,13 +154,15 @@ class VideoDriver:
                     stylized = _resize_bicubic(stylized, frame.shape[0] / stylized.shape[0])
                 dt = time.monotonic() - t0
                 out_path = self._out_path(i)
-                writer.put(lambda p=out_path, s=stylized: io.save_image(p, s))
+                writer.put(lambda p=out_path, s=stylized: io.save_image(p, np.asarray(s)))
                 if progress:
                     print(f"frame {i}: {dt*1000:.1f} ms -> {out_path}")
                 if self.eval_fn is not None:
-                    row = self.eval_fn(i, frame, stylized, last_stylized)
+                    row = self.eval_fn(i, frame, np.asarray(stylized), last_stylized_host)
                     if row is not None:
                         self.eval_rows.append(list(row))
+                if need_host_prev:
+                    last_stylized_host = np.asarray(stylized)
                 last_stylized = stylized
                 results.append(FrameResult(i, out_path, dt))
         finally:

@@ -154,21 +154,26 @@ class StylizerEngine:
         return sub
 
     def _pad(self, arr, mode="edge"):
+        """Stride padding; stays on device for device-resident inputs."""
         h, w = arr.shape[0], arr.shape[1]
         hp, wp = _round_up(h, self.stride_multiple), _round_up(w, self.stride_multiple)
         if (hp, wp) == (h, w):
             return arr, (h, w)
         pad = [(0, hp - h), (0, wp - w)] + [(0, 0)] * (arr.ndim - 2)
-        return np.pad(np.asarray(arr), pad, mode=mode), (h, w)
+        return jnp.pad(jnp.asarray(arr), pad,
+                       mode="edge" if mode == "edge" else "constant"), (h, w)
 
-    def stylize_first(self, content: np.ndarray) -> np.ndarray:
+    def stylize_first(self, content):
+        """Returns the stylized frame as a DEVICE array (the recurrence
+        carry never leaves the chip; call np.asarray for a host copy)."""
         content, (h, w) = self._pad(content)
         out = self._jit_first(jnp.asarray(content), self._next_key())
-        return np.asarray(out)[:h, :w]
+        return out[:h, :w]
 
-    def stylize_next(
-        self, content: np.ndarray, prev_stylized: np.ndarray, flow: np.ndarray, cert: np.ndarray
-    ) -> np.ndarray:
+    def stylize_next(self, content, prev_stylized, flow, cert):
+        """prev_stylized may be the device array returned by a previous
+        stylize_* call — the temporal recurrence then never round-trips
+        through the host."""
         content, (h, w) = self._pad(content)
         prev_stylized, _ = self._pad(prev_stylized)
         flow, _ = self._pad(flow)
@@ -185,7 +190,7 @@ class StylizerEngine:
             self._next_key(),
             band=band,
         )
-        return np.asarray(out)[:h, :w]
+        return out[:h, :w]
 
     def stylize_with_prior(
         self, content: np.ndarray, prior_rgb: np.ndarray, cert: np.ndarray, erode_cert: bool = True
@@ -202,4 +207,4 @@ class StylizerEngine:
             self._next_key(),
             erode=erode_cert,
         )
-        return np.asarray(out)[:h, :w]
+        return out[:h, :w]

@@ -68,14 +68,24 @@ class PerceptualScorer:
         pre = vgg_preprocess(jnp.asarray(style))[None]
         self.style_tgts = losses.style_targets(self.vgg_params, pre, self.cfg)
 
+        import jax
+
+        def _score(stylized, content):
+            x = vgg_preprocess(stylized)[None]
+            tgt = vgg_preprocess(content)[None]
+            _, per_layer = losses.perceptual_loss(
+                self.vgg_params, x, tgt, self.style_tgts, self.cfg
+            )
+            style = sum(v for k, v in per_layer.items() if k.startswith("style"))
+            cont = sum(v for k, v in per_layer.items() if k.startswith("content"))
+            return style, cont
+
+        self._score = jax.jit(_score)
+
     def __call__(self, content: np.ndarray, stylized: np.ndarray):
-        x = vgg_preprocess(jnp.asarray(stylized))[None]
-        tgt = vgg_preprocess(jnp.asarray(content))[None]
-        _, per_layer = losses.perceptual_loss(self.vgg_params, x, tgt,
-                                              self.style_tgts, self.cfg)
-        style = sum(float(v) for k, v in per_layer.items() if k.startswith("style"))
-        cont = sum(float(v) for k, v in per_layer.items() if k.startswith("content"))
-        return style, cont
+        style, cont = self._score(jnp.asarray(stylized, jnp.float32),
+                                  jnp.asarray(content, jnp.float32))
+        return float(style), float(cont)
 
 
 def temporal_error(prev_stylized, stylized, flow, cert, backward_eval=False):

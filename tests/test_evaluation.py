@@ -122,3 +122,25 @@ def test_video_driver_with_evaluator(tmp_path, rng, vgg_npz, style_png):
     # temporal error exists and frame 1's entry is 0
     temporal = [float(v) for v in lines[2].split(";")]
     assert temporal[0] == 0.0
+
+
+def test_registry_catalog():
+    from fast_artistic_videos_tpu.models import registry
+
+    assert "candy" in registry.CATALOG
+    assert registry.CATALOG["scream-vr"].vr
+    with pytest.raises(KeyError):
+        registry.find_converted("nope")
+    with pytest.raises(FileNotFoundError):
+        registry.find_converted("candy", models_dir="/nonexistent")
+
+
+def test_stage_timer():
+    from fast_artistic_videos_tpu.utils import profiling
+
+    t = profiling.StageTimer()
+    with t.stage("warp"):
+        pass
+    t.add("stylize", 0.5)
+    rep = t.report()
+    assert "warp" in rep and "stylize" in rep
