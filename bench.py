@@ -37,7 +37,7 @@ def main():
         p = vgg_preprocess(prior)[None] * c2[None, :, :, None]
         x = jnp.concatenate([c, p, c2[None, :, :, None]], -1)
         y = stylizer.apply(params, spec, x, dtype=jnp.bfloat16)
-        return jnp.clip(vgg_deprocess(y[0]), 0.0, 1.0)
+        return jnp.clip(vgg_deprocess(y[0]), 0.0, 1.0).astype(jnp.float32)
 
     jstep = jax.jit(step)
     rng = np.random.default_rng(0)

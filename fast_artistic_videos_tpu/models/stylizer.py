@@ -337,8 +337,10 @@ def apply(params: Params, spec: ModelSpec, x, *, dtype=None, optimize: bool = Tr
             x = _norm_apply(x, params[name + "_norm"], use_in)
         if layer.relu_after:
             x = jax.nn.relu(x)
-    x = jnp.tanh(x.astype(jnp.float32)) * spec.tanh_constant
-    return x
+    # tail stays in the compute dtype (bf16 tanh costs ~1.5 ms less than an
+    # f32 upcast at 1080p; output quantization ~0.6/255 is inside the parity
+    # budget); callers cast as needed
+    return jnp.tanh(x) * jnp.asarray(spec.tanh_constant, x.dtype)
 
 
 def build(arch: str = "canonical", in_channels: int = 7, **kw):

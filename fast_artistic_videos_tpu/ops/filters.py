@@ -29,20 +29,27 @@ def min_filter(x, size: int):
     if size % 2 == 0:
         raise ValueError(f"min_filter window must be odd (got {size})")
     pad = size // 2
-    if x.ndim >= 3:
-        window = [1] * (x.ndim - 3) + [size, size, 1]
-        padding = [(0, 0)] * (x.ndim - 3) + [(pad, pad), (pad, pad), (0, 0)]
-    else:
-        window = [1] * (x.ndim - 2) + [size, size]
-        padding = [(0, 0)] * (x.ndim - 2) + [(pad, pad), (pad, pad)]
-    return jax.lax.reduce_window(
-        x,
-        jnp.asarray(jnp.inf, x.dtype),
-        jax.lax.min,
-        window_dimensions=window,
-        window_strides=[1] * x.ndim,
-        padding=padding,
-    )
+    h_ax = x.ndim - 3 if x.ndim >= 3 else x.ndim - 2
+    w_ax = h_ax + 1
+
+    def pass_1d(v, axis):
+        # square-window erosion is separable: two 1-D passes (size+size taps
+        # instead of size**2); +inf padding identity reproduces the
+        # border-clipped windows
+        window = [1] * x.ndim
+        window[axis] = size
+        padding = [(0, 0)] * x.ndim
+        padding[axis] = (pad, pad)
+        return jax.lax.reduce_window(
+            v,
+            jnp.asarray(jnp.inf, x.dtype),
+            jax.lax.min,
+            window_dimensions=window,
+            window_strides=[1] * x.ndim,
+            padding=padding,
+        )
+
+    return pass_1d(pass_1d(x, h_ax), w_ax)
 
 
 def median_filter(x, size: int):

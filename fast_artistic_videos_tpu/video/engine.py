@@ -107,11 +107,11 @@ class StylizerEngine:
         return jnp.zeros(shape, jnp.float32)
 
     def _run_model(self, which, x):
+        """Model forward in the engine's compute dtype; deprocess/clip run in
+        that dtype too and only the returned frame is cast to float32."""
         if which == "img":
-            y = self.apply_img(self.params_img, x.astype(self._dtype))
-        else:
-            y = self.apply_vid(self.params_vid, x.astype(self._dtype))
-        return y.astype(jnp.float32)
+            return self.apply_img(self.params_img, x.astype(self._dtype))
+        return self.apply_vid(self.params_vid, x.astype(self._dtype))
 
     def _first_impl(self, content, key):
         """content: (H, W, 3) RGB [0,1]."""
@@ -124,7 +124,7 @@ class StylizerEngine:
             fill = self._fill(key, cert3, (1, h, w, 3))
             x = jnp.concatenate([c, fill, jnp.zeros((1, h, w, 1))], axis=-1)
             y = self._run_model("vid", x)
-        return jnp.clip(vgg_deprocess(y[0]), 0.0, 1.0)
+        return jnp.clip(vgg_deprocess(y[0]), 0.0, 1.0).astype(jnp.float32)
 
     def _next_impl(self, content, prev_stylized, flow, cert, key, band=None):
         """content/prev_stylized: (H,W,3) RGB [0,1]; flow: (H,W,2) (dx,dy)
@@ -145,7 +145,7 @@ class StylizerEngine:
         prior = prior + self._fill(key, cert3, (1, h, w, 3))
         x = jnp.concatenate([c, prior, cert1], axis=-1)
         y = self._run_model("vid", x)
-        return jnp.clip(vgg_deprocess(y[0]), 0.0, 1.0)
+        return jnp.clip(vgg_deprocess(y[0]), 0.0, 1.0).astype(jnp.float32)
 
     # -- host API --------------------------------------------------------
 
