@@ -176,9 +176,17 @@ def pad_to_stride(img: np.ndarray) -> Tuple[np.ndarray, Tuple[int, int]]:
 
 
 class FlowEstimator:
-    """Host-facing wrapper: pads, runs both directions, caches jits."""
+    """Host-facing wrapper: pads, runs both directions, caches jits.
 
-    def __init__(self, params: Params, dtype=jnp.float32):
+    `device` pins the estimator to a specific chip — with >=2 devices the
+    flow stage and the stylizer can run on different chips, the in-process
+    analog of the reference's concurrent flow producer (SURVEY.md §2.5 PP
+    row; stylizeVideo_deepflow.sh:80-82)."""
+
+    def __init__(self, params: Params, dtype=jnp.float32, device=None):
+        self.device = device
+        if device is not None:
+            params = jax.device_put(params, device)
         self.params = params
         self._dtype = dtype
         self._jit = jax.jit(lambda a, b: apply(self.params, a, b))
@@ -187,9 +195,12 @@ class FlowEstimator:
         """Flow mapping img1 -> img2, full resolution, (H, W, 2) (dx, dy)."""
         p1, (h, w) = pad_to_stride(img1)
         p2, _ = pad_to_stride(img2)
-        out = self._jit(
-            jnp.asarray(p1, self._dtype)[None], jnp.asarray(p2, self._dtype)[None]
-        )
+        a = jnp.asarray(p1, self._dtype)[None]
+        b = jnp.asarray(p2, self._dtype)[None]
+        if self.device is not None:
+            a = jax.device_put(a, self.device)
+            b = jax.device_put(b, self.device)
+        out = self._jit(a, b)
         return np.asarray(out)[0, :h, :w].astype(np.float32)
 
     def flow_pair(self, img1, img2):

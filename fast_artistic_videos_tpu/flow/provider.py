@@ -20,8 +20,8 @@ class StreamingFlowProvider:
     """Stateful: remembers the previous frame; drive it with frames in
     playback order."""
 
-    def __init__(self, params, use_structure: bool = True):
-        self.estimator = estimator.FlowEstimator(params)
+    def __init__(self, params, use_structure: bool = True, device=None):
+        self.estimator = estimator.FlowEstimator(params, device=device)
         self.use_structure = use_structure
         self._prev: Optional[np.ndarray] = None
 

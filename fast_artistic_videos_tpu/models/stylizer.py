@@ -196,12 +196,18 @@ def init_params(key, spec: ModelSpec) -> Params:
 def _norm_apply(x, p, use_instance_norm: bool):
     if use_instance_norm:
         return instance_norm(x, p["scale"], p["bias"])
-    # Inference-style batch norm fallback (the reference trains with IN by
-    # default; BN support exists for parity with use_instance_norm=0).
-    mean = x.mean(axis=(0, 1, 2), keepdims=True)
-    var = x.var(axis=(0, 1, 2), keepdims=True)
-    y = (x - mean) * jax.lax.rsqrt(var + 1e-5)
-    return y * p["scale"] + p["bias"]
+    # Batch norm (use_instance_norm=0 parity): evaluation uses stored
+    # running statistics when the checkpoint carries them (t7 BN imports);
+    # freshly initialized models fall back to batch statistics.
+    if "running_mean" in p:
+        mean = p["running_mean"].astype(jnp.float32)
+        var = p["running_var"].astype(jnp.float32)
+    else:
+        mean = x.astype(jnp.float32).mean(axis=(0, 1, 2))
+        var = x.astype(jnp.float32).var(axis=(0, 1, 2))
+    eff_scale = jax.lax.rsqrt(var + 1e-5) * p["scale"].astype(jnp.float32)
+    eff_bias = p["bias"].astype(jnp.float32) - mean * eff_scale
+    return (x.astype(jnp.float32) * eff_scale + eff_bias).astype(x.dtype)
 
 
 def _block_apply(x, p, layer: LayerSpec, use_in: bool, residual: bool):

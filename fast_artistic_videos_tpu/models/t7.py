@@ -317,7 +317,11 @@ def _full_conv_params(m: TorchObject) -> Dict[str, np.ndarray]:
 
 
 def _norm_params(m: TorchObject) -> Dict[str, np.ndarray]:
-    return {"scale": _as_f32(m["weight"]), "bias": _as_f32(m["bias"])}
+    out = {"scale": _as_f32(m["weight"]), "bias": _as_f32(m["bias"])}
+    if m.torch_typename == "nn.SpatialBatchNormalization" and m["running_mean"] is not None:
+        out["running_mean"] = _as_f32(m["running_mean"])
+        out["running_var"] = _as_f32(m["running_var"])
+    return out
 
 
 def import_stylizer(checkpoint: Any):

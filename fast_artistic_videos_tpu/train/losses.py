@@ -31,10 +31,17 @@ class PerceptualConfig:
     content_layers: Tuple[int, ...] = (16,)
     content_weights: Tuple[float, ...] = (1.0,)
     agg_type: str = "gram"  # 'gram' | 'mean'
+    loss_type: str = "L2"   # 'L2' | 'SmoothL1' (probe criterion, PerceptualCriterion.lua:25)
+    deepdream_layers: Tuple[int, ...] = ()
+    deepdream_weights: Tuple[float, ...] = ()
+    deepdream_max_grad: float = 100.0
 
     @property
     def all_layers(self) -> Tuple[int, ...]:
-        return tuple(sorted(set(self.style_layers) | set(self.content_layers)))
+        return tuple(
+            sorted(set(self.style_layers) | set(self.content_layers)
+                   | set(self.deepdream_layers))
+        )
 
 
 def _aggregate(feats, agg_type: str):
@@ -48,8 +55,23 @@ def style_targets(vgg_params, style_img_pre, cfg: PerceptualConfig) -> List[jnp.
     return [_aggregate(feats[l], cfg.agg_type) for l in cfg.style_layers]
 
 
-def _mse(a, b):
+def _probe_crit(kind: str, a, b):
+    """Size-averaged probe criterion (StyleLoss/ContentLoss loss_type)."""
+    if kind == "SmoothL1":
+        d = jnp.abs(a - b)
+        return jnp.mean(jnp.where(d < 1.0, 0.5 * jnp.square(d), d - 0.5))
     return jnp.mean(jnp.square(a - b))
+
+
+def deepdream_loss(feats, strength: float, max_grad: float = 100.0):
+    """Activation-maximization term whose gradient reproduces
+    nn.DeepDreamLoss.updateGradInput (DeepDreamLoss.lua:22-27):
+    grad = -strength * clamp(x, -max_grad, max_grad), i.e. the gradient of
+    -strength * sum(huber_m(x)) with m = max_grad."""
+    a = jnp.abs(feats)
+    huber = jnp.where(a <= max_grad, 0.5 * jnp.square(feats),
+                      max_grad * a - 0.5 * max_grad**2)
+    return -strength * jnp.sum(huber)
 
 
 def perceptual_loss(
@@ -73,12 +95,18 @@ def perceptual_loss(
         tgt = jax.lax.stop_gradient(tgt)
         if agg.ndim == tgt.ndim + 1:  # broadcast single style target over batch
             tgt = tgt[None]
-        loss = wgt * _mse(agg, tgt)
+        loss = wgt * _probe_crit(cfg.loss_type, agg, tgt)
         per_layer[f"style-{l}"] = loss
         total = total + loss
     for l, wgt in zip(cfg.content_layers, cfg.content_weights):
-        loss = wgt * _mse(feats[l], jax.lax.stop_gradient(target_feats[l]))
+        loss = wgt * _probe_crit(
+            cfg.loss_type, feats[l], jax.lax.stop_gradient(target_feats[l])
+        )
         per_layer[f"content-{l}"] = loss
+        total = total + loss
+    for l, wgt in zip(cfg.deepdream_layers, cfg.deepdream_weights):
+        loss = deepdream_loss(feats[l], wgt, cfg.deepdream_max_grad)
+        per_layer[f"deepdream-{l}"] = loss
         total = total + loss
     return total, per_layer
 

@@ -124,3 +124,15 @@ def test_params_save_load_roundtrip(tmp_path):
             np.testing.assert_array_equal(
                 np.asarray(params[name][leaf]), np.asarray(loaded[name][leaf])
             )
+
+
+def test_flow_on_pinned_device(rng):
+    """Flow stage pinned to a different device than the default — the
+    in-process analog of the reference's concurrent flow producer."""
+    dev = jax.devices()[1]
+    params = estimator.init_params(jax.random.PRNGKey(0))
+    est = estimator.FlowEstimator(params, device=dev)
+    img = rng.random((32, 32, 3)).astype(np.float32)
+    flow = est.flow(img, img)
+    assert flow.shape == (32, 32, 2)
+    assert jax.tree_util.tree_leaves(est.params)[0].devices() == {dev}

@@ -260,3 +260,28 @@ def test_trainer_with_vr_source(coco_h5):
     assert tr.iteration == 2
     leaves = jax.tree_util.tree_leaves(tr.params)
     assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+
+
+def test_deepdream_loss_gradient_matches_reference():
+    """autodiff of deepdream_loss must reproduce DeepDreamLoss.updateGradInput:
+    grad = -strength * clamp(x, -max, max) (DeepDreamLoss.lua:22-27)."""
+    x = jnp.asarray(np.linspace(-200, 200, 32, dtype=np.float32))
+    strength, mx = 1e-3, 100.0
+    g = np.asarray(jax.grad(lambda a: losses.deepdream_loss(a, strength, mx))(x))
+    ref = -strength * np.clip(np.asarray(x), -mx, mx)
+    np.testing.assert_allclose(g, ref, atol=1e-6)
+
+
+def test_perceptual_loss_deepdream_and_smoothl1(rng):
+    params = vgg.init_params(jax.random.PRNGKey(0))
+    cfg = losses.PerceptualConfig(
+        style_layers=(4,), style_weights=(1.0,),
+        content_layers=(4,), content_weights=(1.0,),
+        deepdream_layers=(4,), deepdream_weights=(1e-5,),
+        loss_type="SmoothL1",
+    )
+    x = vgg_preprocess(jnp.asarray(rng.random((1, HW, HW, 3)).astype(np.float32)))
+    tgts = losses.style_targets(params, x, cfg)
+    loss, per_layer = losses.perceptual_loss(params, x, x, tgts, cfg)
+    assert "deepdream-4" in per_layer
+    assert float(per_layer["deepdream-4"]) < 0  # activation maximization
