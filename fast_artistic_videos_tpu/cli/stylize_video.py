@@ -77,8 +77,15 @@ def main(argv=None):
         from ..flow import estimator as flow_estimator
         from ..flow.provider import StreamingFlowProvider
 
+        import jax
+
+        device = None
+        if opt.flow_device >= 0 and opt.flow_device < len(jax.devices()):
+            device = jax.devices()[opt.flow_device]
         flow_provider = StreamingFlowProvider(
-            flow_estimator.load_params(opt.flow_model)
+            flow_estimator.load_params(opt.flow_model),
+            device=device,
+            flow_scale=opt.flow_scale,
         )
     eval_fn = None
     if opt.evaluate:

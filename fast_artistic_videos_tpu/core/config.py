@@ -181,6 +181,8 @@ class StylizeOptions:
     exact_warp: bool = False            # gather warp (exact) vs banded TPU warp
     flow_model: str = ""                # on-TPU flow estimator weights (.npz);
                                         # replaces flow/occlusion file patterns
+    flow_scale: float = 1.0             # estimate flow at reduced resolution
+    flow_device: int = -1               # pin the flow stage to a device index
     # evaluation
     evaluate: bool = False
     flow_pattern_eval: str = ""

@@ -143,6 +143,7 @@ class Trainer:
         # histories (train_video.lua:382-394)
         self.train_loss_history: List[float] = []
         self.val_loss_history: List[float] = []
+        self.val_loss_last_history: List[float] = []
         self.val_loss_history_ts: List[int] = []
         self.percept_loss_history: Dict[str, List[float]] = {}
         self._loss_accum: Dict[str, float] = {}
@@ -155,7 +156,8 @@ class Trainer:
     # device step
     # ------------------------------------------------------------------
 
-    def _loss_fn(self, params, imgs, flows, certs, key, num_steps: int, first_mode: str):
+    def _loss_fn(self, params, imgs, flows, certs, key, num_steps: int,
+                 first_mode: str, all_steps: bool = False):
         """imgs: tuple of num_steps+1 (N, H, W, 3) VGG-space arrays (shapes
         may differ per step — the vr source's frame 1 is a border strip);
         flows: tuple of (N, Hf, Wf, 2); certs: tuple of (N, Hf, Wf, 1).
@@ -185,6 +187,7 @@ class Trainer:
 
         out2 = None
         out1_warped_masked = None
+        step_losses = []  # per-step (pixel + percep), for validation parity
         for i in range(num_steps):
             if out2 is not None:
                 out1 = out2 if opt.full_bptt else jax.lax.stop_gradient(out2)
@@ -197,6 +200,20 @@ class Trainer:
                 [imgs[i + 1], out1_warped_masked + antimask, certs[i]], axis=-1
             )
             out2 = model_fwd(params, x)
+            if all_steps:
+                # validation scores every unrolled step (train_video.lua:473-494)
+                sl = jnp.asarray(0.0, jnp.float32)
+                if opt.pixel_loss_weight > 0:
+                    sl = sl + opt.pixel_loss_weight * losses.pixel_loss(
+                        opt.pixel_loss_type, out2 * certs[i], out1_warped_masked
+                    )
+                if opt.percep_loss_weight > 0 and self.style_tgts is not None:
+                    pstep, _ = losses.perceptual_loss(
+                        self.vgg_params, out2, imgs[i + 1], self.style_tgts,
+                        self.percep_cfg,
+                    )
+                    sl = sl + opt.percep_loss_weight * pstep
+                step_losses.append(sl)
 
         cert_last = certs[num_steps - 1]
         out2_masked = out2 * cert_last
@@ -218,6 +235,9 @@ class Trainer:
         if opt.tv_strength > 0:
             total = total + tv.tv_loss(out2, opt.tv_strength) / n
         aux["total"] = total
+        if all_steps and step_losses:
+            aux["val_sum"] = sum(step_losses)
+            aux["val_last"] = step_losses[-1]
         return total, (aux, out2, out1_warped_masked)
 
     def _antimask(self, key, cert3, shape):
@@ -348,20 +368,26 @@ class Trainer:
             self.video_source.reset("val")
         num_steps = int(self.frame_steps_sched[-1][1])
         val_loss = 0.0
+        val_loss_last = 0.0
         denom = sum(self.mix.values())
         for _ in range(opt.num_val_batches):
             part = 0.0
+            part_last = 0.0
             for source, weight in self.mix.items():
                 steps = num_steps
                 imgs, flows, certs, steps = self._get_batch("val", source, steps)
                 self.key, sub = jax.random.split(self.key)
-                loss, _ = _eval_loss(self, imgs, flows, certs, sub, steps,
-                                     self._first_mode(source))
-                part += weight * float(loss) / steps
+                _, aux = _eval_loss(self, imgs, flows, certs, sub, steps,
+                                    self._first_mode(source))
+                part += weight * float(aux["val_sum"]) / steps
+                part_last += weight * float(aux["val_last"])
             val_loss += part / denom
+            val_loss_last += part_last / denom
         val_loss /= opt.num_val_batches
+        val_loss_last /= opt.num_val_batches
         log_fn(f"val loss = {val_loss:.6f}")
         self.val_loss_history.append(val_loss)
+        self.val_loss_last_history.append(val_loss_last)
         self.val_loss_history_ts.append(self.iteration)
         return val_loss
 
@@ -390,6 +416,7 @@ class Trainer:
             "opt": dataclasses.asdict(opt),
             "train_loss_history": self.train_loss_history,
             "val_loss_history": self.val_loss_history,
+            "val_loss_last_history": self.val_loss_last_history,
             "val_loss_history_ts": self.val_loss_history_ts,
             "percept_loss_history": self.percept_loss_history,
             "iter": self.iteration,
@@ -448,7 +475,8 @@ def _eval_loss(trainer: Trainer, imgs, flows, certs, key, num_steps, first_mode)
     fn = _EVAL_CACHE.get(cache_key)
     if fn is None:
         fn = jax.jit(
-            functools.partial(trainer._loss_fn, num_steps=num_steps, first_mode=first_mode)
+            functools.partial(trainer._loss_fn, num_steps=num_steps,
+                              first_mode=first_mode, all_steps=True)
         )
         _EVAL_CACHE[cache_key] = fn
     loss, (aux, _, _) = fn(

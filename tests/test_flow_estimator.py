@@ -136,3 +136,14 @@ def test_flow_on_pinned_device(rng):
     flow = est.flow(img, img)
     assert flow.shape == (32, 32, 2)
     assert jax.tree_util.tree_leaves(est.params)[0].devices() == {dev}
+
+
+def test_streaming_provider_flow_scale(rng):
+    params = estimator.init_params(jax.random.PRNGKey(0))
+    provider = StreamingFlowProvider(params, use_structure=False, flow_scale=0.5)
+    f1 = rng.random((64, 64, 3)).astype(np.float32)
+    f2 = rng.random((64, 64, 3)).astype(np.float32)
+    provider(f1)
+    flow, cert = provider(f2)
+    assert flow.shape == (64, 64, 2)
+    assert cert.shape == (64, 64)
