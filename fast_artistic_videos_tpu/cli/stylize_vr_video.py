@@ -32,9 +32,10 @@ def main(argv=None):
     opt = VROptions(**kw)
     if not opt.input_pattern:
         p.error("--input_pattern is required")
-    if not opt.create_inconsistent and (not opt.flow_pattern or not opt.occlusions_pattern):
+    if (not opt.create_inconsistent and not opt.flow_model
+            and (not opt.flow_pattern or not opt.occlusions_pattern)):
         p.error("--flow_pattern and --occlusions_pattern are required "
-                "(or pass --create_inconsistent)")
+                "(or pass --flow_model for on-TPU flow, or --create_inconsistent)")
 
     spec_v, params_v, _ = checkpoint.load_model(opt.model_vid)
     apply_vid = lambda pp, x: stylizer.apply(pp, spec_v, x)  # noqa: E731
@@ -58,7 +59,17 @@ def main(argv=None):
         from ..video.evaluation import VREvaluator
 
         eval_fn = VREvaluator(opt).__call__
-    driver = VRDriver(engine, opt, eval_fn=eval_fn)
+    flow_provider_factory = None
+    if opt.flow_model:
+        from ..flow import estimator as flow_estimator
+        from ..flow.provider import StreamingFlowProvider
+
+        flow_params = flow_estimator.load_params(opt.flow_model)
+        flow_provider_factory = lambda: StreamingFlowProvider(  # noqa: E731
+            flow_params, flow_scale=opt.flow_scale
+        )
+    driver = VRDriver(engine, opt, eval_fn=eval_fn,
+                      flow_provider_factory=flow_provider_factory)
     n = driver.run()
     print(f"processed {n} faces ({n // 6} full frames)")
     return 0

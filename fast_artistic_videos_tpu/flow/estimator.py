@@ -21,7 +21,6 @@ Training is supervised on synthetic warps with exact ground truth
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, List, Tuple
 
 import jax

@@ -13,7 +13,6 @@ coarse levels downweighted (PWC-Net style).
 
 from __future__ import annotations
 
-from typing import Iterator, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,6 @@ same: conv W,b ~ U(-k, k) with k = 1/sqrt(fan_in); instance norm scale
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict
 
 import jax

@@ -30,7 +30,7 @@ checkpoints back to Torch-compatible files).
 from __future__ import annotations
 
 import struct
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional
 
 import numpy as np
 

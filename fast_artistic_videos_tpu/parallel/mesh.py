@@ -13,7 +13,7 @@ All helpers degrade gracefully to a 1-device mesh.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

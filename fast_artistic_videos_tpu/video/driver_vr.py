@@ -26,7 +26,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import time
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 import jax.numpy as jnp
 import numpy as np
@@ -109,7 +109,12 @@ class _Geometry:
 
 
 class VRDriver:
-    def __init__(self, engine: StylizerEngine, opt: VROptions, eval_fn=None):
+    def __init__(self, engine: StylizerEngine, opt: VROptions, eval_fn=None,
+                 flow_provider_factory=None):
+        """flow_provider_factory: optional zero-arg callable building a
+        streaming flow provider (flow.provider.StreamingFlowProvider); one
+        provider per cube-face position replaces the flow/occlusion file
+        patterns (each face is its own temporal stream)."""
         self.engine = engine
         self.opt = opt
         self.eval_fn = eval_fn
@@ -118,6 +123,11 @@ class VRDriver:
         self.segments: List[Optional[np.ndarray]] = [None] * 6       # current frame
         self.prev_segments: List[Optional[np.ndarray]] = [None] * 6  # previous frame (blended)
         self.last_content: Optional[np.ndarray] = None
+        self.flow_providers = (
+            [flow_provider_factory() for _ in range(6)]
+            if flow_provider_factory is not None else None
+        )
+        self._streamed: List[Optional[tuple]] = [None] * 6
 
     # -- helpers ----------------------------------------------------------
 
@@ -156,12 +166,18 @@ class VRDriver:
                 border = np.maximum(border, g.mask_top)
                 border = np.maximum(border, g.mask_bottom)
         if i >= 7 and not opt.create_inconsistent:
-            name = format_flow_name(opt.occlusions_pattern, file_idx - 1, file_idx,)
-            name = name % PROC_ORDER[pos] if "%" in name else name
-            pipeline.wait_for_file(name)
-            cert_frame = io.load_image(name, num_channels=1)[..., 0]
-            if opt.invert_occlusion:
-                cert_frame = 1.0 - cert_frame
+            if self.flow_providers is not None:
+                streamed = self._streamed[pos]
+                if streamed is None:
+                    return border
+                cert_frame = streamed[1]
+            else:
+                name = format_flow_name(opt.occlusions_pattern, file_idx - 1, file_idx)
+                name = name % PROC_ORDER[pos] if "%" in name else name
+                pipeline.wait_for_file(name)
+                cert_frame = io.load_image(name, num_channels=1)[..., 0]
+                if opt.invert_occlusion:
+                    cert_frame = 1.0 - cert_frame
             return np.maximum(cert_frame, border)
         return border
 
@@ -201,10 +217,16 @@ class VRDriver:
                 )
 
         if i >= 7 and not opt.create_inconsistent:
-            flow_name = format_flow_name(opt.flow_pattern, file_idx - 1, file_idx)
-            flow_name = flow_name % PROC_ORDER[pos] if "%" in flow_name else flow_name
-            pipeline.wait_for_file(flow_name)
-            flow = io.read_flo(flow_name)
+            if self.flow_providers is not None:
+                streamed = self._streamed[pos]
+                if streamed is None:
+                    return border
+                flow = streamed[0]
+            else:
+                flow_name = format_flow_name(opt.flow_pattern, file_idx - 1, file_idx)
+                flow_name = flow_name % PROC_ORDER[pos] if "%" in flow_name else flow_name
+                pipeline.wait_for_file(flow_name)
+                flow = io.read_flo(flow_name)
             prev_warped = self._warp(self.prev_segments[pos], flow)
             if pos == 0:
                 return prev_warped
@@ -323,6 +345,8 @@ class VRDriver:
                 break
             t0 = time.monotonic()
             pos = (i - 1) % 6
+            if self.flow_providers is not None and not self.opt.create_inconsistent:
+                self._streamed[pos] = self.flow_providers[pos](img)
             file_idx = (i - 1) // 6 + opt.start_frame
             if self._is_single(i):
                 stylized = self.engine.stylize_first(img)

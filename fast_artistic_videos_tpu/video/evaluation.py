@@ -29,7 +29,6 @@ import numpy as np
 
 from ..core import io
 from ..core.config import StylizeOptions, format_flow_name, parse_layers
-from ..models import vgg
 from ..ops import filters, warp
 from ..ops.preprocess import vgg_preprocess
 from ..train import losses

@@ -130,3 +130,33 @@ def test_checkpoint_roundtrip(tmp_path):
     assert len(flat1) == len(flat2)
     for a, b in zip(flat1, flat2):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_stylize_video_file_wrapper(clip, tmp_path):
+    """One-command wrapper from pre-extracted frames with in-process
+    streaming flow (ffmpeg steps gated off)."""
+    import jax
+
+    from fast_artistic_videos_tpu.cli import stylize_video_file
+    from fast_artistic_videos_tpu.flow import estimator
+
+    model_vid = str(tmp_path / "vid.npz")
+    _save_tiny_model(model_vid, 7)
+    fparams = estimator.init_params(jax.random.PRNGKey(0))
+    fpath = str(tmp_path / "flow.npz")
+    estimator.save_params(fpath, fparams)
+    # wrapper expects frame_%05d.ppm
+    frames = tmp_path / "frames"
+    frames.mkdir()
+    for i in (1, 2, 3):
+        img = io.load_image(str(clip / f"frame_{i:05d}.ppm"))
+        io.save_image(str(frames / f"frame_{i:05d}.ppm"), img)
+    rc = stylize_video_file.main([
+        "--frames_dir", str(frames),
+        "--model_vid", model_vid,
+        "--flow_model", fpath,
+        "--no_encode",
+        "--out_dir", str(tmp_path / "wd"),
+    ])
+    assert rc == 0
+    assert os.path.exists(str(tmp_path / "wd" / "out-00003.png"))

@@ -179,3 +179,28 @@ def test_vr_equirect_output(vr_clip):
     path = str(vr_clip / "out3" / "o-00001_equi.png")
     assert os.path.exists(path)
     assert io.load_image(path).shape == (32, 64, 3)
+
+
+def test_vr_driver_streaming_flow(vr_clip):
+    """On-TPU flow replaces the per-face flow/occlusion files entirely."""
+    import jax
+
+    from fast_artistic_videos_tpu.flow import estimator
+    from fast_artistic_videos_tpu.flow.provider import StreamingFlowProvider
+
+    params = estimator.init_params(jax.random.PRNGKey(0))
+    opt = VROptions(
+        input_pattern=str(vr_clip / "f%04d_%d.ppm"),
+        output_prefix=str(vr_clip / "outs" / "o"),
+        num_frames=2,
+        overlap_pixel_w=OVERLAP,
+        overlap_pixel_h=OVERLAP,
+        median_filter=0,
+    )
+    driver = VRDriver(
+        _echo_engine(), opt,
+        flow_provider_factory=lambda: StreamingFlowProvider(params, use_structure=False),
+    )
+    n = driver.run(progress=False)
+    assert n == 12
+    assert all(s is not None for s in driver._streamed)
