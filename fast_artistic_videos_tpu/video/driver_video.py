@@ -131,6 +131,14 @@ class VideoDriver:
         # the recurrence carry stays ON DEVICE; the host copy for PNG/eval is
         # materialized in the writer thread, overlapped with the next frame
         last_stylized = None
+        if opt.continue_with > 1 and not opt.backward:
+            # resume the recurrence from the last written frame (the
+            # reference 2D driver has no equivalent and would warp a
+            # nonexistent previous frame; the VR driver reloads its faces,
+            # fast_artistic_video_vr.lua:576-583 — we do the same here)
+            prev_path = self._out_path(opt.continue_with - 1)
+            if os.path.exists(prev_path):
+                last_stylized = io.load_image(prev_path)
         last_stylized_host: Optional[np.ndarray] = None
         scale = opt.scale_factor
         need_host_prev = self.eval_fn is not None
@@ -142,7 +150,7 @@ class VideoDriver:
                 content = frame
                 if scale != 1.0:
                     content = _resize_bicubic(frame, scale)
-                if flow_cert is None:
+                if flow_cert is None or last_stylized is None:
                     stylized = self.engine.stylize_first(content)
                 else:
                     flow, cert = flow_cert

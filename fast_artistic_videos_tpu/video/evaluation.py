@@ -277,3 +277,28 @@ def _scale_shorter(img: np.ndarray, size: int) -> np.ndarray:
     return np.asarray(
         jax.image.resize(jnp.asarray(img), (nh, nw, img.shape[2]), method="bilinear")
     )
+
+
+def ssim(a: np.ndarray, b: np.ndarray, window: int = 7) -> float:
+    """Mean SSIM between two [0,1] images (H, W, C) — the parity metric
+    named in BASELINE.json ("temporal warp error + SSIM parity"). Uniform
+    window, standard constants (K1=0.01, K2=0.03, L=1)."""
+    c1, c2 = 0.01**2, 0.03**2
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    if a.ndim == 2:
+        a, b = a[..., None], b[..., None]
+
+    def box(x):
+        k = window
+        out = np.cumsum(np.cumsum(np.pad(x, ((1, 0), (1, 0), (0, 0))), 0), 1)
+        s = out[k:, k:] - out[:-k, k:] - out[k:, :-k] + out[:-k, :-k]
+        return s / (k * k)
+
+    mu_a, mu_b = box(a), box(b)
+    var_a = box(a * a) - mu_a**2
+    var_b = box(b * b) - mu_b**2
+    cov = box(a * b) - mu_a * mu_b
+    num = (2 * mu_a * mu_b + c1) * (2 * cov + c2)
+    den = (mu_a**2 + mu_b**2 + c1) * (var_a + var_b + c2)
+    return float(np.mean(num / den))

@@ -160,3 +160,22 @@ def test_stylize_video_file_wrapper(clip, tmp_path):
     ])
     assert rc == 0
     assert os.path.exists(str(tmp_path / "wd" / "out-00003.png"))
+
+
+def test_cli_continue_with_resumes_recurrence(clip, tmp_path):
+    model_vid = str(tmp_path / "vid.npz")
+    _save_tiny_model(model_vid, 7)
+    args = [
+        "--model_vid", model_vid,
+        "--model_img", "self",
+        "--input_pattern", str(clip / "frame_%05d.ppm"),
+        "--flow_pattern", str(clip / "flow" / "backward_[%d]_{%d}.flo"),
+        "--occlusions_pattern", str(clip / "flow" / "reliable_[%d]_{%d}.pgm"),
+        "--output_prefix", str(clip / "outr" / "out"),
+        "--num_frames", "2",
+    ]
+    assert stylize_video.main(args) == 0
+    # resume from frame 3: loads out-00002.png as the recurrence carry
+    rc = stylize_video.main(args[:-2] + ["--num_frames", "3", "--continue_with", "3"])
+    assert rc == 0
+    assert os.path.exists(str(clip / "outr" / "out-00003.png"))

@@ -144,3 +144,14 @@ def test_stage_timer():
     t.add("stylize", 0.5)
     rep = t.report()
     assert "warp" in rep and "stylize" in rep
+
+
+def test_ssim_metric(rng):
+    a = rng.random((32, 32, 3)).astype(np.float32)
+    assert evaluation.ssim(a, a) > 0.9999
+    b = rng.random((32, 32, 3)).astype(np.float32)
+    assert evaluation.ssim(a, b) < 0.5
+    y = np.linspace(0, np.pi, 32)
+    smooth = (np.outer(np.sin(y * 2), np.cos(y)) * 0.5 + 0.5)[..., None].repeat(3, -1)
+    shifted = np.roll(smooth, 1, axis=1)
+    assert 0.5 < evaluation.ssim(smooth, shifted) < 1.0
