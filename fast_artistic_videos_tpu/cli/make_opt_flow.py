@@ -29,15 +29,34 @@ def main(argv=None):
     p.add_argument("--input_pattern", required=True,
                    help="frame filename pattern, e.g. frames/frame_%%05d.ppm")
     p.add_argument("--out_dir", required=True)
-    p.add_argument("--flow_model", required=True, help="estimator weights (.npz)")
+    p.add_argument("--flow_model", default="", help="estimator weights (.npz)")
+    p.add_argument("--flow_cmd", default="",
+                   help="external flow estimator command with {a} {b} {out} "
+                        "placeholders (the run-deepflow.sh / "
+                        "run-flownet-multiple.sh adapter slot), e.g. "
+                        "'deepflow2 {a} {b} {out}'")
     p.add_argument("--start", type=int, default=1)
     p.add_argument("--no_structure", action="store_true",
                    help="skip the structure-tensor term of the consistency check")
     p.add_argument("--skip_existing", action="store_true", default=True)
     args = p.parse_args(argv)
 
+    if not args.flow_model and not args.flow_cmd:
+        p.error("need --flow_model (on-TPU) or --flow_cmd (external estimator)")
     os.makedirs(args.out_dir, exist_ok=True)
-    est = estimator.FlowEstimator(estimator.load_params(args.flow_model))
+    if args.flow_cmd:
+        import shlex
+        import subprocess
+
+        def compute_flow(path_a, path_b, out_path):
+            cmd = [part.format(a=path_a, b=path_b, out=out_path)
+                   for part in shlex.split(args.flow_cmd)]
+            subprocess.run(cmd, check=True)
+            return io.read_flo(out_path)
+
+        est = None
+    else:
+        est = estimator.FlowEstimator(estimator.load_params(args.flow_model))
 
     def cert(flow1, flow2, image):
         mask = consistency.consistency_mask(
@@ -63,10 +82,16 @@ def main(argv=None):
         if not (args.skip_existing and all(
             os.path.exists(f) for f in (fwd_name, bwd_name, rel_ij, rel_ji)
         )):
-            forward = est.flow(prev, cur)   # j -> i
-            backward = est.flow(cur, prev)  # i -> j
-            io.write_flo(fwd_name, forward)
-            io.write_flo(bwd_name, backward)
+            if est is None:
+                forward = compute_flow(args.input_pattern % j,
+                                       args.input_pattern % i, fwd_name)
+                backward = compute_flow(args.input_pattern % i,
+                                        args.input_pattern % j, bwd_name)
+            else:
+                forward = est.flow(prev, cur)   # j -> i
+                backward = est.flow(cur, prev)  # i -> j
+                io.write_flo(fwd_name, forward)
+                io.write_flo(bwd_name, backward)
             io.write_pgm(rel_ij, cert(backward, forward, cur))
             io.write_pgm(rel_ji, cert(forward, backward, prev))
             count += 1

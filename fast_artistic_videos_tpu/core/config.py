@@ -176,6 +176,8 @@ class StylizeOptions:
     scale_factor: float = 1.0
     backward: bool = False
     create_inconsistent: bool = False
+    inconsistent_batch: int = 1         # frames per device step when
+                                        # create_inconsistent (no recurrence)
     # numerics
     dtype: str = "float32"              # compute dtype: 'float32' | 'bfloat16'
     exact_warp: bool = False            # gather warp (exact) vs banded TPU warp

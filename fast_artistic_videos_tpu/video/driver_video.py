@@ -126,6 +126,9 @@ class VideoDriver:
         else:
             indices = list(range(opt.continue_with, opt.num_frames + 1))
 
+        if opt.create_inconsistent and opt.inconsistent_batch > 1:
+            return self._run_batched(indices, progress)
+
         results: List[FrameResult] = []
         writer = pipeline.AsyncWriter()
         # the recurrence carry stays ON DEVICE; the host copy for PNG/eval is
@@ -177,6 +180,38 @@ class VideoDriver:
             writer.close()
         if self.eval_rows and opt.evaluation_file:
             self._write_eval_file()
+        return results
+
+    def _run_batched(self, indices, progress: bool) -> List[FrameResult]:
+        """create_inconsistent throughput mode: frames are independent, so
+        stylize `inconsistent_batch` of them per device step."""
+        results: List[FrameResult] = []
+        writer = pipeline.AsyncWriter()
+        batch_n = self.opt.inconsistent_batch
+        pending: List = []
+        try:
+            def flush():
+                if not pending:
+                    return
+                t0 = time.monotonic()
+                outs = self.engine.stylize_batch([f for _, f in pending])
+                dt = (time.monotonic() - t0) / len(pending)
+                for (idx, _), out in zip(pending, outs):
+                    path = self._out_path(idx)
+                    writer.put(lambda p=path, s=out: io.save_image(p, np.asarray(s)))
+                    if progress:
+                        print(f"frame {idx}: {dt*1000:.1f} ms -> {path}")
+                    results.append(FrameResult(idx, path, dt))
+                pending.clear()
+
+            for i, item in pipeline.Prefetcher(self._load_inputs, indices):
+                frame, _ = item
+                pending.append((i, frame))
+                if len(pending) >= batch_n:
+                    flush()
+            flush()
+        finally:
+            writer.close()
         return results
 
     def _write_eval_file(self):

@@ -113,18 +113,19 @@ class StylizerEngine:
             return self.apply_img(self.params_img, x.astype(self._dtype))
         return self.apply_vid(self.params_vid, x.astype(self._dtype))
 
-    def _first_impl(self, content, key):
-        """content: (H, W, 3) RGB [0,1]."""
-        c = vgg_preprocess(content.astype(jnp.float32))[None]
+    def _first_impl(self, contents, key):
+        """contents: (N, H, W, 3) RGB [0,1] — independent frames (the
+        create_inconsistent path batches them for throughput)."""
+        c = vgg_preprocess(contents.astype(jnp.float32))
         if self.apply_img is not None:
             y = self._run_model("img", c)
         else:
-            h, w = content.shape[0], content.shape[1]
-            cert3 = jnp.zeros((1, h, w, 3), jnp.float32)
-            fill = self._fill(key, cert3, (1, h, w, 3))
-            x = jnp.concatenate([c, fill, jnp.zeros((1, h, w, 1))], axis=-1)
+            n, h, w = contents.shape[0], contents.shape[1], contents.shape[2]
+            cert3 = jnp.zeros((n, h, w, 3), jnp.float32)
+            fill = self._fill(key, cert3, (n, h, w, 3))
+            x = jnp.concatenate([c, fill, jnp.zeros((n, h, w, 1))], axis=-1)
             y = self._run_model("vid", x)
-        return jnp.clip(vgg_deprocess(y[0]), 0.0, 1.0).astype(jnp.float32)
+        return jnp.clip(vgg_deprocess(y), 0.0, 1.0).astype(jnp.float32)
 
     def _next_impl(self, content, prev_stylized, flow, cert, key, band=None):
         """content/prev_stylized: (H,W,3) RGB [0,1]; flow: (H,W,2) (dx,dy)
@@ -167,8 +168,17 @@ class StylizerEngine:
         """Returns the stylized frame as a DEVICE array (the recurrence
         carry never leaves the chip; call np.asarray for a host copy)."""
         content, (h, w) = self._pad(content)
-        out = self._jit_first(jnp.asarray(content), self._next_key())
-        return out[:h, :w]
+        out = self._jit_first(jnp.asarray(content)[None], self._next_key())
+        return out[0, :h, :w]
+
+    def stylize_batch(self, contents):
+        """Stylize N independent frames in one device step (no temporal
+        prior) — the throughput mode for create_inconsistent."""
+        first = contents[0]
+        h, w = first.shape[0], first.shape[1]
+        padded = [np.asarray(self._pad(c)[0]) for c in contents]
+        out = self._jit_first(jnp.asarray(np.stack(padded)), self._next_key())
+        return [out[i, :h, :w] for i in range(len(contents))]
 
     def stylize_next(self, content, prev_stylized, flow, cert):
         """prev_stylized may be the device array returned by a previous

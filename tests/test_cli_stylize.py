@@ -179,3 +179,36 @@ def test_cli_continue_with_resumes_recurrence(clip, tmp_path):
     rc = stylize_video.main(args[:-2] + ["--num_frames", "3", "--continue_with", "3"])
     assert rc == 0
     assert os.path.exists(str(clip / "outr" / "out-00003.png"))
+
+
+def test_cli_inconsistent_batched(clip, tmp_path):
+    model_vid = str(tmp_path / "vid.npz")
+    model_img = str(tmp_path / "img.npz")
+    _save_tiny_model(model_vid, 7)
+    _save_tiny_model(model_img, 3)
+    rc = stylize_video.main([
+        "--model_vid", model_vid,
+        "--model_img", model_img,
+        "--input_pattern", str(clip / "frame_%05d.ppm"),
+        "--output_prefix", str(clip / "outb" / "out"),
+        "--create_inconsistent",
+        "--inconsistent_batch", "2",
+        "--num_frames", "3",
+    ])
+    assert rc == 0
+    for i in (1, 2, 3):
+        assert os.path.exists(str(clip / "outb" / f"out-{i:05d}.png"))
+    # batched output matches unbatched (same weights, deterministic)
+    rc = stylize_video.main([
+        "--model_vid", model_vid,
+        "--model_img", model_img,
+        "--input_pattern", str(clip / "frame_%05d.ppm"),
+        "--output_prefix", str(clip / "outu" / "out"),
+        "--create_inconsistent",
+        "--num_frames", "3",
+    ])
+    assert rc == 0
+    for i in (1, 2, 3):
+        a = io.load_image(str(clip / "outb" / f"out-{i:05d}.png"))
+        b = io.load_image(str(clip / "outu" / f"out-{i:05d}.png"))
+        np.testing.assert_allclose(a, b, atol=2e-2)  # IN stats are per-sample, so batched == unbatched
