@@ -206,3 +206,88 @@ def rotate_minus90(img: np.ndarray) -> np.ndarray:
 
 def rotate180(img: np.ndarray) -> np.ndarray:
     return img[::-1, ::-1].copy()
+
+
+# ---------------------------------------------------------------------------
+# equirectangular -> cube faces (the transformVRVideo.sh / Transform360 step)
+# ---------------------------------------------------------------------------
+
+# NOTE the forward builder's "Up" branch writes strip slot 5 and "Down"
+# slot 4 (vr_helper.lua:139-150), i.e. the strip order is f,l,r,b,DOWN,UP —
+# so driver face 3 (strip slot 4) is the down face and face 4 the up face.
+_SLOT_OF_FACE = {6: "front", 1: "left", 2: "right", 5: "back", 3: "down", 4: "up"}
+
+
+def equirect_to_face_map(
+    slot: str, hplus: int, wplus: int, overlap_w: float, overlap_h: float,
+    eq_h: int, eq_w: int,
+) -> np.ndarray:
+    """Offset map sampling one overlapping cube face from an equirectangular
+    image — the exact inverse of the per-slot branches of
+    cube_to_equirectangular_map (vr_helper.lua:95-184), so faces produced
+    with these maps reconstruct the panorama through the VR driver's
+    equirect output path.
+
+    Returns (hplus, wplus, 2) offsets into an equirect image that has been
+    horizontally wrap-padded by EQUIRECT_WRAP_PAD columns on each side (the
+    bilinear taps of seam pixels need the wrap).
+    """
+    face_w = wplus - overlap_w
+    face_h = hplus - overlap_h
+    rr, cc = np.mgrid[0:hplus, 0:wplus].astype(np.float64)
+    u_f = (cc - overlap_w / 2) / face_w      # in [-ow/2/fw, 1 + ...]
+    v_f = (rr - overlap_h / 2) / face_h
+    a = 2 * u_f - 1
+    b = 2 * v_f - 1
+    one = np.ones_like(a)
+    if slot == "front":
+        x, y, z = a, b, one
+    elif slot == "left":
+        x, y, z = -one, b, a
+    elif slot == "right":
+        x, y, z = one, b, -a
+    elif slot == "back":
+        x, y, z = -a, b, -one
+    elif slot == "up":
+        x, y, z = a, one, -b
+    elif slot == "down":
+        x, y, z = a, -one, b
+    else:
+        raise ValueError(slot)
+    n = np.sqrt(x * x + y * y + z * z)
+    theta = np.arccos(np.clip(y / n, -1.0, 1.0))
+    phi = np.mod(np.arctan2(-x, -z), 2 * math.pi)
+    i_e = phi / (2 * math.pi) * eq_w + EQUIRECT_WRAP_PAD
+    j_e = (1 - theta / math.pi) * eq_h
+    flow = np.zeros((hplus, wplus, 2), np.float32)
+    flow[..., 0] = i_e - cc
+    flow[..., 1] = j_e - rr
+    return flow
+
+
+EQUIRECT_WRAP_PAD = 4
+
+
+def equirect_to_faces(equi: np.ndarray, hplus: int, wplus: int,
+                      overlap_w: float, overlap_h: float):
+    """Split an equirectangular frame (H, W, C) into the 6 overlapping cube
+    faces in the VR driver's file numbering (1..6), including the storage
+    rotation of the up/down faces (the equi builder places rot180 of faces
+    3 and 4, fast_artistic_video_vr.lua:543)."""
+    from ..ops import warp as warp_ops
+    import jax.numpy as jnp
+
+    eq_h, eq_w = equi.shape[:2]
+    padded = np.concatenate(
+        [equi[:, -EQUIRECT_WRAP_PAD:], equi, equi[:, :EQUIRECT_WRAP_PAD]], axis=1
+    )
+    faces = {}
+    for number, slot in _SLOT_OF_FACE.items():
+        m = equirect_to_face_map(slot, hplus, wplus, overlap_w, overlap_h, eq_h, eq_w)
+        img = np.asarray(
+            warp_ops.bilinear_warp(jnp.asarray(padded), jnp.asarray(m))
+        )
+        if slot in ("up", "down"):
+            img = rotate180(img)
+        faces[number] = img
+    return faces
