@@ -28,6 +28,7 @@ import os
 import time
 from typing import List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -128,6 +129,8 @@ class VRDriver:
             if flow_provider_factory is not None else None
         )
         self._streamed: List[Optional[tuple]] = [None] * 6
+        self._border_jits: dict = {}  # pos -> jitted border builder
+        self._blend_jit = None
 
     # -- helpers ----------------------------------------------------------
 
@@ -194,27 +197,10 @@ class VRDriver:
         border = np.zeros((hp, wp, 3), np.float32)
         div = g.mask_all_div[..., None]
 
-        if not opt.create_inconsistent_border:
-            if pos == 1:
-                border = self._warp(seg[0], g.map_left)
-            elif pos == 2:
-                border = self._warp(seg[0], g.map_right)
-            elif pos == 3:
-                border = self._warp(seg[1], g.map_left) + self._warp(seg[2], g.map_right)
-            elif pos == 4:
-                border = (
-                    self._warp(vr.rotate90(seg[1]), g.map_left) / div
-                    + self._warp(vr.rotate_minus90(seg[2]), g.map_right) / div
-                    + self._warp(seg[3], g.map_top) / div
-                    + self._warp(vr.rotate180(seg[0]), g.map_bottom) / div
-                )
-            elif pos == 5:
-                border = (
-                    self._warp(vr.rotate_minus90(seg[1]), g.map_left) / div
-                    + self._warp(vr.rotate90(seg[2]), g.map_right) / div
-                    + self._warp(vr.rotate180(seg[0]), g.map_top) / div
-                    + self._warp(seg[3], g.map_bottom) / div
-                )
+        if not opt.create_inconsistent_border and pos > 0:
+            zero = np.zeros((hp, wp, 3), np.float32)
+            args = [jnp.asarray(x if x is not None else zero) for x in seg[:4]]
+            border = self._border_fn(pos)(*args)
 
         if i >= 7 and not opt.create_inconsistent:
             if self.flow_providers is not None:
@@ -227,19 +213,65 @@ class VRDriver:
                 flow_name = flow_name % PROC_ORDER[pos] if "%" in flow_name else flow_name
                 pipeline.wait_for_file(flow_name)
                 flow = io.read_flo(flow_name)
-            prev_warped = self._warp(self.prev_segments[pos], flow)
+            return self._temporal_fn(pos)(
+                jnp.asarray(self.prev_segments[pos]), jnp.asarray(flow),
+                jnp.asarray(border), jnp.asarray(cert_eroded),
+            )
+        return border
+
+    def _border_fn(self, pos: int):
+        """Jitted neighbor-border builder per face position (the eager
+        version paid a dispatch round trip per warp; one compiled program
+        per pos runs all warps/rotations on device)."""
+        if pos in self._border_jits:
+            return self._border_jits[pos]
+        g = self.geo
+        ml, mr = jnp.asarray(g.map_left), jnp.asarray(g.map_right)
+        mt, mb = jnp.asarray(g.map_top), jnp.asarray(g.map_bottom)
+        div = jnp.asarray(g.mask_all_div)[..., None]
+        w = warp.bilinear_warp
+        r90, rm90, r180 = vr.rotate90, vr.rotate_minus90, vr.rotate180
+
+        def build(s0, s1, s2, s3):
+            if pos == 1:
+                return w(s0, ml)
+            if pos == 2:
+                return w(s0, mr)
+            if pos == 3:
+                return w(s1, ml) + w(s2, mr)
+            if pos == 4:
+                return (w(r90(s1), ml) / div + w(rm90(s2), mr) / div
+                        + w(s3, mt) / div + w(r180(s0), mb) / div)
+            return (w(rm90(s1), ml) / div + w(r90(s2), mr) / div
+                    + w(r180(s0), mt) / div + w(s3, mb) / div)
+
+        self._border_jits[pos] = jax.jit(build)
+        return self._border_jits[pos]
+
+    def _temporal_fn(self, pos: int):
+        """Jitted temporal blend (:275-295) per face position."""
+        key = ("temporal", pos)
+        if key in self._border_jits:
+            return self._border_jits[key]
+        g = self.geo
+        if pos > 0:
+            gm = jnp.asarray(
+                [None, g.grad_right, g.grad_left, g.grad_left_right,
+                 g.grad_all, g.grad_all][pos])
+            mk = jnp.asarray(
+                [None, g.mask_left, g.mask_right, g.mask_left + g.mask_right,
+                 g.mask_all, g.mask_all][pos])
+
+        def blend(prev_seg, flow, border, cert_eroded):
+            prev_warped = warp.bilinear_warp(prev_seg, flow)
             if pos == 0:
                 return prev_warped
-            grad_masks = [None, g.grad_right, g.grad_left, g.grad_left_right,
-                          g.grad_all, g.grad_all]
-            masks = [None, g.mask_left, g.mask_right, g.mask_left + g.mask_right,
-                     g.mask_all, g.mask_all]
             cert_inv = 1.0 - cert_eroded
-            gm = grad_masks[pos]
-            mask = np.maximum(gm, np.ceil(gm) * cert_inv) * masks[pos]
-            mask = mask[..., None]
+            mask = (jnp.maximum(gm, jnp.ceil(gm) * cert_inv) * mk)[..., None]
             return prev_warped * (1.0 - mask) + border * mask
-        return border
+
+        self._border_jits[key] = jax.jit(blend)
+        return self._border_jits[key]
 
     def smooth_cert_mask(self, pos: int) -> Optional[np.ndarray]:
         """The optional flow_mask return of the reference prior callback
@@ -255,31 +287,37 @@ class VRDriver:
 
     def blend_other_sides(self) -> List[np.ndarray]:
         """Cross-face blend after a full frame (:454-509)."""
-        g = self.geo
-        s = self.segments
-        gm = g.grad_all[..., None]
-        div = g.mask_all_div[..., None]
-        w = self._warp
-        r90, rm90, r180 = vr.rotate90, vr.rotate_minus90, vr.rotate180
+        if self._blend_jit is None:
+            g = self.geo
+            gm = jnp.asarray(g.grad_all)[..., None]
+            div = jnp.asarray(g.mask_all_div)[..., None]
+            ml, mr = jnp.asarray(g.map_left), jnp.asarray(g.map_right)
+            mt, mb = jnp.asarray(g.map_top), jnp.asarray(g.map_bottom)
+            w = warp.bilinear_warp
+            r90, rm90, r180 = vr.rotate90, vr.rotate_minus90, vr.rotate180
 
-        def combine(a, b, c, d):
-            return (a + b + c + d) / div
+            def blend(s):
+                def combine(a, b, c, d):
+                    return (a + b + c + d) / div
 
-        borders = [
-            combine(w(s[1], g.map_right), w(s[2], g.map_left),
-                    w(r180(s[4]), g.map_bottom), w(r180(s[5]), g.map_top)),
-            combine(w(s[0], g.map_left), w(s[3], g.map_right),
-                    w(rm90(s[4]), g.map_bottom), w(r90(s[5]), g.map_top)),
-            combine(w(s[0], g.map_right), w(s[3], g.map_left),
-                    w(r90(s[4]), g.map_bottom), w(rm90(s[5]), g.map_top)),
-            combine(w(s[1], g.map_left), w(s[2], g.map_right),
-                    w(s[4], g.map_bottom), w(s[5], g.map_top)),
-            combine(w(r180(s[0]), g.map_bottom), w(r90(s[1]), g.map_left),
-                    w(rm90(s[2]), g.map_right), w(s[3], g.map_top)),
-            combine(w(r180(s[0]), g.map_top), w(rm90(s[1]), g.map_left),
-                    w(r90(s[2]), g.map_right), w(s[3], g.map_bottom)),
-        ]
-        return [s[p] * (1 - gm) + borders[p] * gm for p in range(6)]
+                borders = [
+                    combine(w(s[1], mr), w(s[2], ml),
+                            w(r180(s[4]), mb), w(r180(s[5]), mt)),
+                    combine(w(s[0], ml), w(s[3], mr),
+                            w(rm90(s[4]), mb), w(r90(s[5]), mt)),
+                    combine(w(s[0], mr), w(s[3], ml),
+                            w(r90(s[4]), mb), w(rm90(s[5]), mt)),
+                    combine(w(s[1], ml), w(s[2], mr),
+                            w(s[4], mb), w(s[5], mt)),
+                    combine(w(r180(s[0]), mb), w(r90(s[1]), ml),
+                            w(rm90(s[2]), mr), w(s[3], mt)),
+                    combine(w(r180(s[0]), mt), w(rm90(s[1]), ml),
+                            w(r90(s[2]), mr), w(s[3], mb)),
+                ]
+                return [s[p] * (1 - gm) + borders[p] * gm for p in range(6)]
+
+            self._blend_jit = jax.jit(blend)
+        return self._blend_jit(tuple(jnp.asarray(x) for x in self.segments))
 
     def _save_frame_outputs(self, file_idx: int) -> None:
         opt = self.opt

@@ -195,16 +195,17 @@ def cube_to_equirectangular_map(
 # rotations (fast_artistic_video_vr.lua:130-144) on HWC arrays
 # ---------------------------------------------------------------------------
 
-def rotate90(img: np.ndarray) -> np.ndarray:
-    """Reference rotate90: transpose spatial dims then reverse rows."""
-    return np.swapaxes(img, 0, 1)[::-1].copy()
+def rotate90(img):
+    """Reference rotate90: transpose spatial dims then reverse rows.
+    Array-type preserving (works on numpy and jax arrays alike)."""
+    return img.swapaxes(0, 1)[::-1].copy()
 
 
-def rotate_minus90(img: np.ndarray) -> np.ndarray:
-    return np.swapaxes(img, 0, 1)[:, ::-1].copy()
+def rotate_minus90(img):
+    return img.swapaxes(0, 1)[:, ::-1].copy()
 
 
-def rotate180(img: np.ndarray) -> np.ndarray:
+def rotate180(img):
     return img[::-1, ::-1].copy()
 
 
