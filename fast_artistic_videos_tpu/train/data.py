@@ -137,7 +137,9 @@ class H5ImageSource:
 
     def next_images(self, split: str) -> np.ndarray:
         start = self.cursor[split]
-        end = min(start + self.batch_size, self.sizes[split])
+        if start + self.batch_size > self.sizes[split]:
+            start = 0  # wrap early: constant batch shapes avoid recompiles
+        end = start + self.batch_size
         raw = self.f[self.paths[split]][start:end]
         self.cursor[split] = 0 if end >= self.sizes[split] else end
         imgs = raw.astype(np.float32).transpose(0, 2, 3, 1) / 255.0
@@ -170,7 +172,9 @@ class H5VideoSource:
 
     def get_batch(self, split: str, num_steps: int) -> Batch:
         start = self.cursor[split]
-        end = min(start + self.batch_size, self.sizes[split])
+        if start + self.batch_size > self.sizes[split]:
+            start = 0  # wrap early: constant batch shapes avoid recompiles
+        end = start + self.batch_size
         frames = self.f[f"/{split}/frames1"][start:end]   # (n, seq, 3, H, W) uint8
         flow = self.f[f"/{split}/flow"][start:end]        # (n, seq-1, 2, H, W) f32 (u, v)
         cert = self.f[f"/{split}/cert"][start:end]        # (n, seq-1, H, W) uint8
