@@ -1,0 +1,1 @@
+from .consistency import consistency_mask  # noqa: F401

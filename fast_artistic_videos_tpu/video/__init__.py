@@ -1,0 +1,1 @@
+from .engine import EngineConfig, StylizerEngine  # noqa: F401
