@@ -245,6 +245,9 @@ class TrainOptions:
     lr_decay_factor: float = 0.5
     weight_decay: float = 0.0
 
+    max_train: int = 0                  # cap the train split (the reference
+                                        # loaders read opt.max_train, an
+                                        # undeclared CLI option there)
     checkpoint_name: str = "checkpoint"
     checkpoint_every: int = 1000
     history_every: int = 100

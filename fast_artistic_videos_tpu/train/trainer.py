@@ -129,12 +129,14 @@ class Trainer:
         h, w = (int(v) for v in opt.train_img_size.split(":"))
         self.train_hw = (h, w)
         self.image_source = (
-            data_mod.H5ImageSource(opt.h5_file, opt.batch_size, out_hw=(h, w))
+            data_mod.H5ImageSource(opt.h5_file, opt.batch_size, out_hw=(h, w),
+                                   max_train=opt.max_train)
             if opt.h5_file
             else None
         )
         self.video_source = (
-            data_mod.H5VideoSource(opt.h5_file_video, opt.batch_size)
+            data_mod.H5VideoSource(opt.h5_file_video, opt.batch_size,
+                                   max_train=opt.max_train)
             if opt.h5_file_video
             else None
         )
