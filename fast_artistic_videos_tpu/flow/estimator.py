@@ -47,9 +47,9 @@ def _conv(params, name, x, stride=1, relu=True):
         window_strides=(stride, stride),
         padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=x.dtype,
     )
-    y = (y + p["b"].astype(jnp.float32)).astype(x.dtype)
+    y = y + p["b"].astype(x.dtype)
     return jax.nn.leaky_relu(y, 0.1) if relu else y
 
 

@@ -47,15 +47,18 @@ def _pad2d(x, pad: int, mode: str):
 
 def conv2d(x, w, b, stride: int = 1, pad: int = 0):
     """Plain conv, zero padding `pad`, kernel HWIO."""
+    # preferred_element_type matches the compute dtype: the MXU still
+    # accumulates in f32 internally, and a float32 preference on bfloat16
+    # operands breaks the autodiff transpose (bf16 lhs vs f32 cotangent)
     y = jax.lax.conv_general_dilated(
         x,
         w.astype(x.dtype),
         window_strides=(stride, stride),
         padding=((pad, pad), (pad, pad)),
         dimension_numbers=_DN,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=x.dtype,
     )
-    return (y + b.astype(jnp.float32)).astype(x.dtype)
+    return y + b.astype(x.dtype)
 
 
 def conv_transpose2d(x, w, b, stride: int, pad: int, out_adjust: int):
@@ -75,9 +78,9 @@ def conv_transpose2d(x, w, b, stride: int, pad: int, out_adjust: int):
         padding=((lo, hi), (lo, hi)),
         lhs_dilation=(stride, stride),
         dimension_numbers=_DN,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=x.dtype,
     )
-    return (y + b.astype(jnp.float32)).astype(x.dtype)
+    return y + b.astype(x.dtype)
 
 
 def instance_norm(x, scale, bias, eps: float = 1e-5):
@@ -132,9 +135,9 @@ def _folded_upsample_conv(x, w, b, ksize: int, pad: int):
         window_strides=(1, 1),
         padding=((-smin, smax), (-smin, smax)),
         dimension_numbers=_DN,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=x.dtype,
     )
-    y = (y + jnp.tile(b.astype(jnp.float32), 4)).astype(x.dtype)
+    y = y + jnp.tile(b.astype(x.dtype), 4)
     # depth-to-space: channel blocks are phase-major (a*2+b)
     y = y.reshape(n, h, ww, 2, 2, o).transpose(0, 1, 3, 2, 4, 5)
     return y.reshape(n, 2 * h, 2 * ww, o)
@@ -262,9 +265,9 @@ def _s2d_conv(x, w, b, ksize: int, pad: int):
         window_strides=(1, 1),
         padding="VALID",
         dimension_numbers=_DN,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=x.dtype,
     )
-    y = (y + jnp.tile(b.astype(jnp.float32), 4)).astype(x.dtype)
+    y = y + jnp.tile(b.astype(x.dtype), 4)
     hh, wh = y.shape[1], y.shape[2]
     y = y.reshape(n, hh, wh, 2, 2, o).transpose(0, 1, 3, 2, 4, 5)
     return y.reshape(n, 2 * hh, 2 * wh, o)

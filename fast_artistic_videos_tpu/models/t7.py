@@ -360,6 +360,11 @@ def import_stylizer(checkpoint: Any):
 
     while i < len(mods):
         t = peek(i)
+        # cudnn module names appear if a checkpoint was saved without the
+        # cudnn->nn conversion (the reference converts before saving,
+        # train_video.lua:528-531, but be liberal in what we accept)
+        if t and t.startswith("cudnn."):
+            mods[i].torch_typename = t = t.replace("cudnn.", "nn.")
         name = f"layer{layer_idx:02d}"
         consumed_norm_relu = False
         if t == "nn.SpatialConvolution":

@@ -309,7 +309,6 @@ class Trainer:
     def train(self, num_iterations: Optional[int] = None, log_fn=print):
         opt = self.opt
         end = num_iterations or opt.num_iterations
-        sharding = pmesh.batch_sharding(self.mesh)
         t_start = time.monotonic()
         while self.iteration < end:
             self.iteration += 1
