@@ -39,13 +39,9 @@ def main(argv=None):
 
     vgg_params = None
     if opt.loss_network:
-        import numpy as np
+        from ..video.evaluation import load_vgg_params
 
-        with np.load(opt.loss_network) as z:
-            vgg_params = {}
-            for k in z.files:
-                layer, leaf = k.rsplit("/", 1)
-                vgg_params.setdefault(layer, {})[leaf] = z[k]
+        vgg_params = load_vgg_params(opt.loss_network)
 
     image_model = None
     if opt.image_model and opt.image_model != "self":

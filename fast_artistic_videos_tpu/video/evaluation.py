@@ -36,8 +36,14 @@ from . import vr_geometry as vr
 
 
 def load_vgg_params(path: str):
-    """Load VGG-16 weights from a flattened-npz file (as produced by the t7
-    importer: keys 'convNN/w', 'convNN/b')."""
+    """Load VGG-16 loss-network weights: either the flattened .npz produced
+    by the t7 importer (keys 'convNN/w'), or a Torch vgg16.t7 directly."""
+    if path.endswith(".t7"):
+        from ..models import t7 as t7_mod
+
+        params = t7_mod.import_vgg16(t7_mod.load_t7(path))
+        return {k: {kk: jnp.asarray(vv) for kk, vv in v.items()}
+                for k, v in params.items()}
     params = {}
     with np.load(path) as z:
         for k in z.files:

@@ -155,3 +155,24 @@ def test_ssim_metric(rng):
     smooth = (np.outer(np.sin(y * 2), np.cos(y)) * 0.5 + 0.5)[..., None].repeat(3, -1)
     shifted = np.roll(smooth, 1, axis=1)
     assert 0.5 < evaluation.ssim(smooth, shifted) < 1.0
+
+
+def test_load_vgg_params_from_t7(tmp_path, rng):
+    from fast_artistic_videos_tpu.models import t7
+
+    mods = []
+    for io_pair in ((3, 64), None):
+        if io_pair is None:
+            mods.append(t7.TorchObject("nn.ReLU", {}))
+        else:
+            i, o = io_pair
+            mods.append(t7.TorchObject("nn.SpatialConvolution", {
+                "weight": rng.normal(size=(o, i, 3, 3)).astype(np.float64),
+                "bias": rng.normal(size=o).astype(np.float64),
+                "nInputPlane": i, "nOutputPlane": o,
+                "kW": 3, "kH": 3, "dW": 1, "dH": 1, "padW": 1, "padH": 1,
+            }))
+    path = str(tmp_path / "vgg16.t7")
+    t7.save_t7(path, t7.TorchObject("nn.Sequential", {"modules": mods}))
+    params = evaluation.load_vgg_params(path)
+    assert params["conv01"]["w"].shape == (3, 3, 3, 64)
