@@ -215,7 +215,7 @@ class VREvaluator:
         opt = self.opt
         g = driver.geo
         pos = (i - 1) % 6
-        seg = driver.segments
+        seg = [np.asarray(x) if x is not None else None for x in driver.segments]
         mf = opt.occlusions_min_filter
 
         def trim(t):
@@ -248,9 +248,10 @@ class VREvaluator:
         elif pos == 5:
             gradx, grady, gradmag = gradient_ratios(seg[5], erode(g.mask_all))
 
-        style, cont = self.scorer(driver.last_content, seg[pos])
+        style, cont = self.scorer(driver.last_content, np.asarray(seg[pos]))
         temporal = 0.0
-        if i > 6 and not getattr(opt, "no_consistency_eval", False):
+        has_patterns = bool(opt.flow_pattern_eval or opt.flow_pattern)
+        if i > 6 and has_patterns and not getattr(opt, "no_consistency_eval", False):
             file_idx = (i - 1) // 6 + opt.start_frame
             from .driver_vr import PROC_ORDER
 

@@ -254,3 +254,44 @@ def test_transform_vr_cli(tmp_path):
         path = str(tmp_path / "faces" / f"f0001_{n}.ppm")
         assert os.path.exists(path)
         assert io.load_image(path).shape == (20, 20, 3)
+
+
+def test_vr_driver_with_evaluator(vr_clip, tmp_path):
+    import jax
+
+    from fast_artistic_videos_tpu.models import vgg as vggmod
+    from fast_artistic_videos_tpu.video.evaluation import VREvaluator
+
+    vgg_path = str(tmp_path / "vgg.npz")
+    params = vggmod.init_params(jax.random.PRNGKey(0))
+    flat = {}
+    for layer, leaves in params.items():
+        for k, v in leaves.items():
+            flat[f"{layer}/{k}"] = np.asarray(v)
+    np.savez(vgg_path, **flat)
+    style_path = str(tmp_path / "style.png")
+    io.save_image(style_path, np.random.default_rng(0).random((32, 32, 3)))
+
+    opt = VROptions(
+        input_pattern=str(vr_clip / "f%04d_%d.ppm"),
+        flow_pattern=str(vr_clip / "flow" / "backward_[%d]_{%d}_%d.flo"),
+        occlusions_pattern=str(vr_clip / "flow" / "reliable_[%d]_{%d}_%d.pgm"),
+        output_prefix=str(vr_clip / "oute" / "o"),
+        num_frames=2,
+        overlap_pixel_w=OVERLAP,
+        overlap_pixel_h=OVERLAP,
+        median_filter=0,
+        evaluate=True,
+        evaluation_file=str(vr_clip / "vr_eval.txt"),
+        loss_network=vgg_path,
+        style_image=style_path,
+        style_image_size=32,
+    )
+    driver = VRDriver(_echo_engine(), opt, eval_fn=VREvaluator(opt))
+    n = driver.run(progress=False)
+    assert n == 12
+    assert len(driver.eval_rows) == 12
+    lines = open(str(vr_clip / "vr_eval.txt")).read().strip().split("\n")
+    # 7 metrics: series + means
+    assert len(lines) == 14
+    assert lines[0].count(";") == 11
