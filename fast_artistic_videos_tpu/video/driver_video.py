@@ -134,6 +134,7 @@ class VideoDriver:
         # the recurrence carry stays ON DEVICE; the host copy for PNG/eval is
         # materialized in the writer thread, overlapped with the next frame
         last_stylized = None
+        scale = opt.scale_factor
         if opt.continue_with > 1 and not opt.backward:
             # resume the recurrence from the last written frame (the
             # reference 2D driver has no equivalent and would warp a
@@ -142,8 +143,9 @@ class VideoDriver:
             prev_path = self._out_path(opt.continue_with - 1)
             if os.path.exists(prev_path):
                 last_stylized = io.load_image(prev_path)
+                if scale != 1.0:
+                    last_stylized = _resize_bicubic(last_stylized, scale)
         last_stylized_host: Optional[np.ndarray] = None
-        scale = opt.scale_factor
         need_host_prev = self.eval_fn is not None
 
         try:
@@ -153,6 +155,10 @@ class VideoDriver:
                 content = frame
                 if scale != 1.0:
                     content = _resize_bicubic(frame, scale)
+                # NOTE: the recurrence is carried at PROCESS resolution; the
+                # reference's -scale_factor only ever rescales independent
+                # frames (core.lua:127-151; run_next_image ignores it), so a
+                # temporally consistent scaled pipeline is a deliberate fix.
                 if flow_cert is None or last_stylized is None:
                     stylized = self.engine.stylize_first(content)
                 else:
@@ -161,19 +167,22 @@ class VideoDriver:
                         flow = _resize_bicubic(flow, scale) * scale
                         cert = _resize_bicubic(cert[..., None], scale)[..., 0]
                     stylized = self.engine.stylize_next(content, last_stylized, flow, cert)
+                out_full = stylized
                 if scale != 1.0:
-                    stylized = _resize_bicubic(stylized, frame.shape[0] / stylized.shape[0])
+                    out_full = _resize_bicubic(
+                        np.asarray(stylized), frame.shape[0] / stylized.shape[0]
+                    )
                 dt = time.monotonic() - t0
                 out_path = self._out_path(i)
-                writer.put(lambda p=out_path, s=stylized: io.save_image(p, np.asarray(s)))
+                writer.put(lambda p=out_path, s=out_full: io.save_image(p, np.asarray(s)))
                 if progress:
                     print(f"frame {i}: {dt*1000:.1f} ms -> {out_path}")
                 if self.eval_fn is not None:
-                    row = self.eval_fn(i, frame, np.asarray(stylized), last_stylized_host)
+                    row = self.eval_fn(i, frame, np.asarray(out_full), last_stylized_host)
                     if row is not None:
                         self.eval_rows.append(list(row))
                 if need_host_prev:
-                    last_stylized_host = np.asarray(stylized)
+                    last_stylized_host = np.asarray(out_full)
                 last_stylized = stylized
                 results.append(FrameResult(i, out_path, dt))
         finally:

@@ -212,3 +212,23 @@ def test_cli_inconsistent_batched(clip, tmp_path):
         a = io.load_image(str(clip / "outb" / f"out-{i:05d}.png"))
         b = io.load_image(str(clip / "outu" / f"out-{i:05d}.png"))
         np.testing.assert_allclose(a, b, atol=2e-2)  # IN stats are per-sample, so batched == unbatched
+
+
+def test_cli_scale_factor(clip, tmp_path):
+    """-scale_factor processes at reduced resolution and upscales the result
+    (core.lua:127-151)."""
+    model_vid = str(tmp_path / "vid.npz")
+    _save_tiny_model(model_vid, 7)
+    rc = stylize_video.main([
+        "--model_vid", model_vid,
+        "--model_img", "self",
+        "--input_pattern", str(clip / "frame_%05d.ppm"),
+        "--flow_pattern", str(clip / "flow" / "backward_[%d]_{%d}.flo"),
+        "--occlusions_pattern", str(clip / "flow" / "reliable_[%d]_{%d}.pgm"),
+        "--output_prefix", str(clip / "outsf" / "out"),
+        "--num_frames", "2",
+        "--scale_factor", "0.5",
+    ])
+    assert rc == 0
+    out = io.load_image(str(clip / "outsf" / "out-00002.png"))
+    assert out.shape == (20, 24, 3)  # full-size output despite half-res compute
