@@ -39,7 +39,16 @@ def main(argv=None):
     p.add_argument("--no_structure", action="store_true",
                    help="skip the structure-tensor term of the consistency check")
     p.add_argument("--skip_existing", action="store_true", default=True)
+    p.add_argument("--platform", default="",
+                   help="force the JAX platform (e.g. 'cpu') — lets a "
+                        "background flow producer run beside a stylizer that "
+                        "owns the TPU, like the reference's concurrent "
+                        "DeepFlow job (stylizeVideo_deepflow.sh:80-82)")
     args = p.parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     if not args.flow_model and not args.flow_cmd:
         p.error("need --flow_model (on-TPU) or --flow_cmd (external estimator)")

@@ -86,10 +86,12 @@ def main(argv=None):
         flow_dir = os.path.join(workdir, "flow")
         # concurrent producer; the stylizer polls for its files, exactly like
         # the reference's background makeOptFlow job
+        # the producer runs on CPU so it can overlap with the stylizer's
+        # chip (pass a device-pinned make_opt_flow yourself for multi-chip)
         flow_proc = subprocess.Popen(
             [sys.executable, "-m", "fast_artistic_videos_tpu.cli.make_opt_flow",
              "--input_pattern", input_pattern, "--out_dir", flow_dir,
-             "--flow_model", args.flow_model],
+             "--flow_model", args.flow_model, "--platform", "cpu"],
         )
         stylize_args += [
             "--flow_pattern", os.path.join(flow_dir, "backward_[%d]_{%d}.flo"),

@@ -75,3 +75,13 @@ def test_load_pgm_as_float(tmp_path):
     assert out.shape == (4, 4, 1)
     np.testing.assert_allclose(out, 1.0)
     assert io.image_size(p) == (4, 4)
+
+
+def test_pnm_16bit(tmp_path):
+    p = tmp_path / "d.pgm"
+    payload = np.array([[0, 1000], [30000, 65535]], dtype=">u2")
+    p.write_bytes(b"P5\n2 2\n65535\n" + payload.tobytes())
+    out = io.read_pnm(str(p))
+    np.testing.assert_array_equal(out, [[0, 1000], [30000, 65535]])
+    f = io.load_image(str(p), num_channels=1)
+    np.testing.assert_allclose(f[1, 1, 0], 1.0)
