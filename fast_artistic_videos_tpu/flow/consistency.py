@@ -117,15 +117,27 @@ def _sample_flow_strict(flow2, bx, by):
     return uv, in_bounds
 
 
-@functools.partial(jax.jit, static_argnames=("use_structure",))
-def _consistency_impl(flow1, flow2, structure, use_structure: bool):
+@functools.partial(jax.jit, static_argnames=("use_structure", "band"))
+def _consistency_impl(flow1, flow2, structure, use_structure: bool, band=None):
     h, w = flow1.shape[0], flow1.shape[1]
     xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
     ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
 
     bx = xs + flow1[..., 0]
     by = ys + flow1[..., 1]
-    uv, in_bounds = _sample_flow_strict(flow2, bx, by)
+    if band is None:
+        uv, in_bounds = _sample_flow_strict(flow2, bx, by)
+    else:
+        # fast path: the strict in-bounds test is analytic in flow1, and the
+        # in-bounds sample equals the banded warp of flow2 by flow1 (same
+        # smooth-flow caveat as ops.warp's banded path — fine for the
+        # streaming provider; the exact path serves file-parity tools)
+        from ..ops import warp as warp_ops
+
+        x1 = jnp.floor(bx)
+        y1 = jnp.floor(by)
+        in_bounds = (x1 >= 0) & (x1 + 1 <= w - 1) & (y1 >= 0) & (y1 + 1 <= h - 1)
+        uv = warp_ops.bilinear_warp(flow2, flow1, band=band)
     cx = bx + uv[..., 0]
     cy = by + uv[..., 1]
     roundtrip = (cx - xs) ** 2 + (cy - ys) ** 2
@@ -152,17 +164,20 @@ def _consistency_impl(flow1, flow2, structure, use_structure: bool):
     return jnp.clip(reliable, 0.0, 255.0)
 
 
-def consistency_mask(flow1, flow2, image=None, rho: float = 3.0):
+def consistency_mask(flow1, flow2, image=None, rho: float = 3.0, band=None):
     """Reliability of flow1 cross-checked against flow2.
 
     flow1/flow2: (H, W, 2) float32 (dx, dy). image: optional (H, W, C) in
-    [0, 1] (converted to the reference's 0-255 scale internally).
+    [0, 1] (converted to the reference's 0-255 scale internally). band:
+    static |flow| bound enabling the banded (gather-free) sample — ~6x
+    faster on TPU, used by the streaming provider; None keeps the exact
+    reference semantics for file-parity tools.
     Returns float32 (H, W) in [0, 1] — divide-by-255 of the reference PGM.
     """
     if image is not None:
         structure = structure_smallest_eigenvalue(image * 255.0, rho)
-        out = _consistency_impl(flow1, flow2, structure, True)
+        out = _consistency_impl(flow1, flow2, structure, True, band)
     else:
         dummy = jnp.zeros(flow1.shape[:2], jnp.float32)
-        out = _consistency_impl(flow1, flow2, dummy, False)
+        out = _consistency_impl(flow1, flow2, dummy, False, band)
     return out / 255.0

@@ -50,11 +50,15 @@ class StreamingFlowProvider:
             backward = _resize(backward, None, (h, w)) / self.flow_scale
             forward = _resize(forward, None, (h, w)) / self.flow_scale
         image = frame if self.use_structure else None
+        from ..ops.warp import flow_band
+
+        band = flow_band(float(np.abs(backward).max()))
         cert = np.asarray(
             consistency.consistency_mask(
                 jnp.asarray(backward),
                 jnp.asarray(forward),
                 None if image is None else jnp.asarray(image),
+                band=band,
             )
         )
         return backward, cert

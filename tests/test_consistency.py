@@ -124,3 +124,30 @@ def test_cpp_tool_bad_args(checker_binary, tmp_path):
     )
     assert r.returncode == 1
     assert b"cannot open" in r.stderr
+
+
+def test_banded_consistency_matches_exact_on_smooth_flow():
+    """The streaming provider's banded sample must agree with the exact
+    gather path for realistic (low-strain) flow fields; disagreements sit
+    on the decision thresholds."""
+    from fast_artistic_videos_tpu.flow import train as flow_train
+
+    f1 = flow_train.random_flow_field(np.random.default_rng(0), 192, 224,
+                                      max_shift=10)
+    f2 = (-f1 + np.random.default_rng(5).normal(size=f1.shape) * 0.05).astype(
+        np.float32
+    )
+    exact = np.asarray(consistency.consistency_mask(jnp.asarray(f1), jnp.asarray(f2)))
+    fast = np.asarray(
+        consistency.consistency_mask(jnp.asarray(f1), jnp.asarray(f2), band=32)
+    )
+    assert (exact != fast).mean() < 0.02
+
+
+def test_banded_consistency_constant_flow_exact():
+    f1 = np.zeros((16, 16, 2), np.float32)
+    f1[..., 0] = 3.0
+    f2 = -f1
+    a = np.asarray(consistency.consistency_mask(jnp.asarray(f1), jnp.asarray(f2)))
+    b = np.asarray(consistency.consistency_mask(jnp.asarray(f1), jnp.asarray(f2), band=8))
+    np.testing.assert_array_equal(a, b)
