@@ -77,12 +77,14 @@ def main(argv=None):
     i = args.start + 1
     prev = io.load_image(args.input_pattern % args.start) \
         if os.path.exists(args.input_pattern % args.start) else None
+    prev_feats = None  # cached pyramid of `prev` (on-TPU path)
     count = 0
     while prev is not None:
         path = args.input_pattern % i
         if not os.path.exists(path):
             break
         cur = io.load_image(path)
+        cur_feats = None
         j = i - 1
         fwd_name = os.path.join(args.out_dir, f"forward_{j}_{i}.flo")
         bwd_name = os.path.join(args.out_dir, f"backward_{i}_{j}.flo")
@@ -97,8 +99,15 @@ def main(argv=None):
                 backward = compute_flow(args.input_pattern % i,
                                         args.input_pattern % j, bwd_name)
             else:
-                forward = est.flow(prev, cur)   # j -> i
-                backward = est.flow(cur, prev)  # i -> j
+                # each frame's pyramid is computed once and reused for both
+                # directions and the next pair (estimator.prep/refine_pair)
+                if prev_feats is None:
+                    prev_feats = est.prep(prev)
+                cur_feats = est.prep(cur)
+                bwd_d, fwd_d, _ = est.refine_pair(cur_feats, prev_feats,
+                                                  cur.shape[:2])
+                backward = np.asarray(bwd_d)  # i -> j
+                forward = np.asarray(fwd_d)   # j -> i
                 io.write_flo(fwd_name, forward)
                 io.write_flo(bwd_name, backward)
             io.write_pgm(rel_ij, cert(backward, forward, cur))
@@ -106,6 +115,7 @@ def main(argv=None):
             count += 1
             print(f"pair {j}->{i} done")
         prev = cur
+        prev_feats = cur_feats
         i += 1
     print(f"{count} pairs computed in {args.out_dir}")
     return 0

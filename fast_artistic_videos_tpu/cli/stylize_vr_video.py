@@ -64,9 +64,12 @@ def main(argv=None):
         from ..flow import estimator as flow_estimator
         from ..flow.provider import StreamingFlowProvider
 
+        # one shared FlowEstimator: the six per-face providers reuse the
+        # same compiled programs (faces are all the same size)
         flow_params = flow_estimator.load_params(opt.flow_model)
+        shared_est = flow_estimator.FlowEstimator(flow_params)
         flow_provider_factory = lambda: StreamingFlowProvider(  # noqa: E731
-            flow_params, flow_scale=opt.flow_scale
+            flow_scale=opt.flow_scale, flow_estimator=shared_est
         )
     driver = VRDriver(engine, opt, eval_fn=eval_fn,
                       flow_provider_factory=flow_provider_factory)

@@ -159,12 +159,43 @@ def load_image(path: str, num_channels: int = 3) -> np.ndarray:
     return arr
 
 
+def load_image_u8(path: str) -> np.ndarray:
+    """Load an image as uint8 (H, W, 3) without the float conversion.
+
+    The video drivers upload frames to the device in this form — 4x less
+    host->device traffic than float32 (the tunnel moves ~60 MB/s; a 1080p
+    frame is 6 MB as uint8 vs 25 MB as float32) — and divide by 255 on
+    device."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext in (".pgm", ".ppm", ".pnm"):
+        arr = read_pnm(path)
+        if arr.dtype == np.uint16:
+            arr = (arr >> 8).astype(np.uint8)
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        if arr.shape[2] == 1:
+            arr = np.repeat(arr, 3, axis=2)
+        return arr
+    from PIL import Image
+
+    with Image.open(path) as im:
+        return np.asarray(im.convert("RGB"))
+
+
 def save_image(path: str, img: np.ndarray) -> None:
-    """Save a float [0,1] (H, W, C) or (H, W) array; format from extension."""
+    """Save a float [0,1] or uint8 (H, W, C) / (H, W) array; format from the
+    extension. uint8 input skips the scale/round pass (the video drivers
+    quantize on device so only 6 MB/frame crosses the tunnel, not 25).
+    PNGs use a fast compression level — frames are written once and read
+    sequentially; zlib level 1 encodes ~4x faster than the default 6 for
+    ~15% larger files."""
     img = np.asarray(img)
     if img.ndim == 3 and img.shape[2] == 1:
         img = img[:, :, 0]
-    u8 = np.clip(np.round(np.asarray(img, dtype=np.float32) * 255.0), 0, 255).astype(np.uint8)
+    if img.dtype == np.uint8:
+        u8 = img
+    else:
+        u8 = np.clip(np.round(np.asarray(img, dtype=np.float32) * 255.0), 0, 255).astype(np.uint8)
     ext = os.path.splitext(path)[1].lower()
     d = os.path.dirname(path)
     if d:
@@ -173,6 +204,10 @@ def save_image(path: str, img: np.ndarray) -> None:
         write_pgm(path, u8)
     elif ext == ".ppm":
         write_ppm(path, u8)
+    elif ext == ".png":
+        from PIL import Image
+
+        Image.fromarray(u8).save(path, compress_level=1)
     else:
         from PIL import Image
 

@@ -117,8 +117,16 @@ def _sample_flow_strict(flow2, bx, by):
     return uv, in_bounds
 
 
-@functools.partial(jax.jit, static_argnames=("use_structure", "band"))
-def _consistency_impl(flow1, flow2, structure, use_structure: bool, band=None):
+@functools.partial(jax.jit, static_argnames=("use_structure", "band", "rho"))
+def _consistency_impl(flow1, flow2, image, use_structure: bool, band=None,
+                      rho: float = 3.0):
+    # the structure tensor runs INSIDE the jit: eager, its ~40 elementwise /
+    # slice ops each paid a dispatch round trip (380 ms at 1080p through the
+    # axon tunnel vs ~15 ms compiled)
+    if use_structure:
+        structure = structure_smallest_eigenvalue(image * 255.0, rho)
+    else:
+        structure = None
     h, w = flow1.shape[0], flow1.shape[1]
     xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
     ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
@@ -175,9 +183,8 @@ def consistency_mask(flow1, flow2, image=None, rho: float = 3.0, band=None):
     Returns float32 (H, W) in [0, 1] — divide-by-255 of the reference PGM.
     """
     if image is not None:
-        structure = structure_smallest_eigenvalue(image * 255.0, rho)
-        out = _consistency_impl(flow1, flow2, structure, True, band)
+        out = _consistency_impl(flow1, flow2, image, True, band, float(rho))
     else:
-        dummy = jnp.zeros(flow1.shape[:2], jnp.float32)
-        out = _consistency_impl(flow1, flow2, dummy, False, band)
+        dummy = jnp.zeros(flow1.shape[:2] + (1,), jnp.float32)
+        out = _consistency_impl(flow1, flow2, dummy, False, band, float(rho))
     return out / 255.0

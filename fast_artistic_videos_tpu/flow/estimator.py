@@ -53,6 +53,36 @@ def _conv(params, name, x, stride=1, relu=True):
     return jax.nn.leaky_relu(y, 0.1) if relu else y
 
 
+def _conv_s2_phase(params, name, x):
+    """Exact phase-domain form of `_conv(..., stride=2)` for a 3x3 kernel and
+    even H, W: space-to-depth the input to half resolution (4x channels) and
+    run a 2x2 block conv whose kernel is a re-indexing of the 3x3 weights.
+    Identity: with XLA SAME padding (pad_lo=0, pad_hi=1 for even H),
+    y[i,j] = sum_{u,v<3} w[u,v] x[2i+u, 2j+v]; substituting u = 2*s_y + a_y
+    (block shift s, phase a) turns the sum into a 2x2 conv over phase blocks.
+    Same rationale as the stylizer front end (models/stylizer.py _phase_front):
+    a full-resolution conv with few channels starves the MXU; its phase-domain
+    form runs at half resolution with 4x the channels."""
+    p = params[name]
+    w = p["w"].astype(x.dtype)
+    kh, kw, c, cout = w.shape
+    n, h, wd, _ = x.shape
+    h2, w2 = h // 2, wd // 2
+    xp = x.reshape(n, h2, 2, w2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+    xp = xp.reshape(n, h2, w2, 4 * c)
+    # w2p[s_y, s_x, (a_y*2+a_x)*c + ch, o] = w[2*s_y+a_y, 2*s_x+a_x, ch, o]
+    wpad = jnp.pad(w, ((0, 1), (0, 1), (0, 0), (0, 0)))
+    w2p = wpad.reshape(2, 2, 2, 2, c, cout).transpose(0, 2, 1, 3, 4, 5)
+    w2p = w2p.reshape(2, 2, 4 * c, cout)
+    y = jax.lax.conv_general_dilated(
+        xp, w2p, window_strides=(1, 1), padding=((0, 1), (0, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype,
+    )
+    y = y + p["b"].astype(x.dtype)
+    return jax.nn.leaky_relu(y, 0.1)
+
+
 def _init_conv(key, k, cin, cout):
     k1, k2 = jax.random.split(key)
     scale = (2.0 / (k * k * cin)) ** 0.5
@@ -86,10 +116,48 @@ def _pyramid(params, img):
     feats = []
     x = img
     for lvl in range(len(PYRAMID_CHANNELS)):
-        x = _conv(params, f"pyr{lvl}_a", x, stride=2)
+        if lvl == 0 and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+            # level 0 runs at input resolution with 3 channels — the one
+            # MXU-starved conv; take the exact phase-domain form
+            x = _conv_s2_phase(params, "pyr0_a", x)
+        else:
+            x = _conv(params, f"pyr{lvl}_a", x, stride=2)
         x = _conv(params, f"pyr{lvl}_b", x, stride=1)
         feats.append(x)
     return feats
+
+
+def extract_pyramid(params, img):
+    """Mean-normalized shared feature pyramid (finest first) for one image
+    batch (N, H, W, 3). Exposed separately from `apply` so streaming callers
+    can compute each frame's pyramid ONCE and reuse it for both flow
+    directions and for the next frame pair (flow/provider.py)."""
+    mean = jnp.asarray([0.45, 0.45, 0.45], img.dtype)
+    return _pyramid(params, img - mean)
+
+
+def refine(params, f1s, f2s, collect: bool = False):
+    """Coarse-to-fine refinement given two feature pyramids. Returns the
+    full-resolution flow (pyramid-input resolution), or — with collect —
+    the per-level estimates (coarsest first, level pixel units)."""
+    flow = None
+    outs: List[jnp.ndarray] = []
+    for lvl in reversed(range(len(PYRAMID_CHANNELS))):
+        f1, f2 = f1s[lvl], f2s[lvl]
+        if flow is None:
+            flow = jnp.zeros(f1.shape[:3] + (2,), jnp.float32)
+            f2w = f2
+        else:
+            flow = _upsample2_flow(flow)
+            f2w = warp_ops.bilinear_warp(f2, flow, band=WARP_BAND)
+        cost = jax.nn.leaky_relu(_cost_volume(f1, f2w, COST_RADIUS), 0.1)
+        x = jnp.concatenate([cost, f1, flow.astype(f1.dtype)], axis=-1)
+        for i in range(len(ESTIMATOR_CHANNELS)):
+            x = _conv(params, f"est{lvl}_{i}", x)
+        flow = flow + _conv(params, f"est{lvl}_out", x, relu=False).astype(jnp.float32)
+        if collect:
+            outs.append(flow)
+    return outs if collect else _upsample2_flow(flow)
 
 
 def _cost_volume(f1, f2w, radius: int):
@@ -115,51 +183,14 @@ def apply(params: Params, img1, img2):
     """img1, img2: (N, H, W, 3) RGB [0,1], H and W divisible by
     2**(len(PYRAMID_CHANNELS)). Returns flow (N, H, W, 2) (dx, dy) in pixels
     mapping img1 pixels to img2 positions."""
-    mean = jnp.asarray([0.45, 0.45, 0.45], img1.dtype)
-    f1s = _pyramid(params, img1 - mean)
-    f2s = _pyramid(params, img2 - mean)
-    flow = None
-    for lvl in reversed(range(len(PYRAMID_CHANNELS))):
-        f1, f2 = f1s[lvl], f2s[lvl]
-        if flow is None:
-            flow = jnp.zeros(f1.shape[:3] + (2,), jnp.float32)
-            f2w = f2
-        else:
-            flow = _upsample2_flow(flow)
-            f2w = warp_ops.bilinear_warp(f2, flow, band=WARP_BAND)
-        cost = jax.nn.leaky_relu(_cost_volume(f1, f2w, COST_RADIUS), 0.1)
-        x = jnp.concatenate([cost, f1, flow.astype(f1.dtype)], axis=-1)
-        for i in range(len(ESTIMATOR_CHANNELS)):
-            x = _conv(params, f"est{lvl}_{i}", x)
-        residual = _conv(params, f"est{lvl}_out", x, relu=False).astype(jnp.float32)
-        flow = flow + residual
-    # finest pyramid level is stride 2: one more upsample to full res
-    return _upsample2_flow(flow)
+    return refine(params, extract_pyramid(params, img1), extract_pyramid(params, img2))
 
 
 def apply_multiscale(params, img1, img2):
     """Training variant: returns the flow estimate at every pyramid level
     (finest-last), in pixel units of that level."""
-    mean = jnp.asarray([0.45, 0.45, 0.45], img1.dtype)
-    f1s = _pyramid(params, img1 - mean)
-    f2s = _pyramid(params, img2 - mean)
-    flow = None
-    outs: List[jnp.ndarray] = []
-    for lvl in reversed(range(len(PYRAMID_CHANNELS))):
-        f1, f2 = f1s[lvl], f2s[lvl]
-        if flow is None:
-            flow = jnp.zeros(f1.shape[:3] + (2,), jnp.float32)
-            f2w = f2
-        else:
-            flow = _upsample2_flow(flow)
-            f2w = warp_ops.bilinear_warp(f2, flow, band=WARP_BAND)
-        cost = jax.nn.leaky_relu(_cost_volume(f1, f2w, COST_RADIUS), 0.1)
-        x = jnp.concatenate([cost, f1, flow.astype(f1.dtype)], axis=-1)
-        for i in range(len(ESTIMATOR_CHANNELS)):
-            x = _conv(params, f"est{lvl}_{i}", x)
-        flow = flow + _conv(params, f"est{lvl}_out", x, relu=False).astype(jnp.float32)
-        outs.append(flow)
-    return outs
+    return refine(params, extract_pyramid(params, img1),
+                  extract_pyramid(params, img2), collect=True)
 
 
 STRIDE = 2 ** len(PYRAMID_CHANNELS)
@@ -189,6 +220,8 @@ class FlowEstimator:
         self.params = params
         self._dtype = dtype
         self._jit = jax.jit(lambda a, b: apply(self.params, a, b))
+        self._prep_cache: dict = {}
+        self._pair_cache: dict = {}
 
     def flow(self, img1: np.ndarray, img2: np.ndarray) -> np.ndarray:
         """Flow mapping img1 -> img2, full resolution, (H, W, 2) (dx, dy)."""
@@ -205,6 +238,70 @@ class FlowEstimator:
     def flow_pair(self, img1, img2):
         """(forward img1->img2, backward img2->img1)."""
         return self.flow(img1, img2), self.flow(img2, img1)
+
+    # -- streaming path (device-resident, pyramid reuse) -------------------
+
+    def prep(self, frame, flow_scale: float = 1.0):
+        """Device-resident feature pyramid for one frame (H, W, 3) RGB [0,1],
+        optionally estimated at `flow_scale` resolution. One jit computes
+        resize + pad-to-stride + pyramid. The returned tuple is the cacheable
+        half of a flow computation: the streaming provider keeps the previous
+        frame's pyramid so each new frame costs ONE pyramid instead of the
+        four that two independent `flow()` calls would spend."""
+        h, w = frame.shape[:2]
+        key = (h, w, float(flow_scale))
+        fn = self._prep_cache.get(key)
+        if fn is None:
+            if flow_scale != 1.0:
+                hs, ws = int(round(h * flow_scale)), int(round(w * flow_scale))
+            else:
+                hs, ws = h, w
+            hp, wp = -(-hs // STRIDE) * STRIDE, -(-ws // STRIDE) * STRIDE
+
+            def _prep(x):
+                x = x.astype(self._dtype)
+                if (hs, ws) != (h, w):
+                    x = jax.image.resize(x, (hs, ws, 3), "bilinear")
+                if (hp, wp) != (hs, ws):
+                    x = jnp.pad(x, ((0, hp - hs), (0, wp - ws), (0, 0)), mode="edge")
+                return tuple(extract_pyramid(self.params, x[None]))
+
+            fn = jax.jit(_prep)
+            self._prep_cache[key] = fn
+        x = jnp.asarray(frame)
+        if self.device is not None:
+            x = jax.device_put(x, self.device)
+        return fn(x)
+
+    def refine_pair(self, feats_a, feats_b, out_hw, flow_scale: float = 1.0):
+        """Both flow directions from two cached pyramids, in ONE compiled
+        program: (flow_ab, flow_ba, maxabs_ab) where flows are (H, W, 2)
+        float32 device arrays cropped/upsampled to `out_hw` in full-res pixel
+        units, and maxabs_ab = max |flow_ab| (a scalar the provider reads back
+        to pick the banded-consistency bucket without an extra dispatch)."""
+        h, w = out_hw
+        key = (tuple(f.shape for f in feats_a), h, w, float(flow_scale))
+        fn = self._pair_cache.get(key)
+        if fn is None:
+            if flow_scale != 1.0:
+                hs, ws = int(round(h * flow_scale)), int(round(w * flow_scale))
+            else:
+                hs, ws = h, w
+
+            def _post(flow):
+                flow = flow[0, :hs, :ws]
+                if (hs, ws) != (h, w):
+                    flow = jax.image.resize(flow, (h, w, 2), "bilinear") / flow_scale
+                return flow
+
+            def _pair(fa, fb):
+                flow_ab = _post(refine(self.params, list(fa), list(fb)))
+                flow_ba = _post(refine(self.params, list(fb), list(fa)))
+                return flow_ab, flow_ba, jnp.max(jnp.abs(flow_ab))
+
+            fn = jax.jit(_pair)
+            self._pair_cache[key] = fn
+        return fn(tuple(feats_a), tuple(feats_b))
 
 
 def save_params(path: str, params: Params) -> None:

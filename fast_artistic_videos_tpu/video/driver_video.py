@@ -30,7 +30,11 @@ from ..ops import warp
 from ..utils import pipeline
 from .engine import StylizerEngine
 
+import jax
 import jax.numpy as jnp
+
+_u8_to_f32 = jax.jit(lambda u: u.astype(jnp.float32) / 255.0)
+_f32_to_u8 = jax.jit(lambda x: jnp.clip(jnp.round(x * 255.0), 0, 255).astype(jnp.uint8))
 
 
 def fix_occlusions_mask(cert: np.ndarray, flow: np.ndarray) -> np.ndarray:
@@ -74,6 +78,17 @@ class VideoDriver:
             return None
         return io.load_image(path)
 
+    def load_frame_device(self, i: int):
+        """Frame i as a DEVICE float32 array, uploaded as uint8 (4x less
+        tunnel traffic) and converted on device. This single upload is shared
+        by the flow provider (pyramid + consistency structure image) and the
+        stylizer engine; it happens on the prefetch thread, overlapped with
+        the previous frame's compute."""
+        path = self._frame_path(i)
+        if not os.path.exists(path):
+            return None
+        return _u8_to_f32(jnp.asarray(io.load_image_u8(path)))
+
     def load_flow_cert(self, i: int):
         opt = self.opt
         flow_name = format_flow_name(opt.flow_pattern, i - 1, i)
@@ -90,12 +105,18 @@ class VideoDriver:
 
     def _load_inputs(self, i: int):
         """Prefetchable bundle for frame i."""
-        frame = self.load_frame(i)
+        frame = self.load_frame_device(i)
         if frame is None:
             return None
         first = self._is_single_image(i)
         if self.flow_provider is not None and not self.opt.create_inconsistent:
             flow_cert = self.flow_provider(frame)
+            if flow_cert is not None:
+                # capture the band HERE (prefetch thread, before the provider
+                # moves on to the next frame) so the engine's warp-band hint
+                # matches this frame's flow
+                band = getattr(self.flow_provider, "last_band", None)
+                flow_cert = flow_cert + (band,)
             if first:
                 flow_cert = None
         else:
@@ -162,19 +183,26 @@ class VideoDriver:
                 if flow_cert is None or last_stylized is None:
                     stylized = self.engine.stylize_first(content)
                 else:
-                    flow, cert = flow_cert
+                    flow, cert, *rest = flow_cert
+                    band_hint = rest[0] if rest else None
                     if scale != 1.0:
                         flow = _resize_bicubic(flow, scale) * scale
                         cert = _resize_bicubic(cert[..., None], scale)[..., 0]
-                    stylized = self.engine.stylize_next(content, last_stylized, flow, cert)
+                        if band_hint is not None:
+                            band_hint = warp.flow_band(band_hint * scale)
+                    stylized = self.engine.stylize_next(content, last_stylized,
+                                                        flow, cert, band_hint)
                 out_full = stylized
                 if scale != 1.0:
                     out_full = _resize_bicubic(
-                        np.asarray(stylized), frame.shape[0] / stylized.shape[0]
+                        stylized, frame.shape[0] / stylized.shape[0]
                     )
                 dt = time.monotonic() - t0
                 out_path = self._out_path(i)
-                writer.put(lambda p=out_path, s=out_full: io.save_image(p, np.asarray(s)))
+                # quantize on device (async dispatch): the writer thread then
+                # downloads 6 MB of uint8 instead of 25 MB of float32
+                out_u8 = _f32_to_u8(jnp.asarray(out_full))
+                writer.put(lambda p=out_path, s=out_u8: io.save_image(p, np.asarray(s)))
                 if progress:
                     print(f"frame {i}: {dt*1000:.1f} ms -> {out_path}")
                 if self.eval_fn is not None:
@@ -207,7 +235,8 @@ class VideoDriver:
                 dt = (time.monotonic() - t0) / len(pending)
                 for (idx, _), out in zip(pending, outs):
                     path = self._out_path(idx)
-                    writer.put(lambda p=path, s=out: io.save_image(p, np.asarray(s)))
+                    out_u8 = _f32_to_u8(jnp.asarray(out))
+                    writer.put(lambda p=path, s=out_u8: io.save_image(p, np.asarray(s)))
                     if progress:
                         print(f"frame {idx}: {dt*1000:.1f} ms -> {path}")
                     results.append(FrameResult(idx, path, dt))
@@ -234,10 +263,10 @@ class VideoDriver:
                 f.write(str(sum(series) / max(1, self.opt.num_frames)) + "\n")
 
 
-def _resize_bicubic(arr: np.ndarray, scale: float) -> np.ndarray:
-    import jax
-
+def _resize_bicubic(arr, scale: float):
+    """Device-resident bicubic resize (returns a jnp array — callers that
+    need a host copy wrap in np.asarray)."""
     h, w = arr.shape[:2]
     nh, nw = int(round(h * scale)), int(round(w * scale))
-    out = jax.image.resize(jnp.asarray(arr), (nh, nw) + arr.shape[2:], method="bicubic")
-    return np.asarray(out)
+    return jax.image.resize(jnp.asarray(arr), (nh, nw) + tuple(arr.shape[2:]),
+                            method="bicubic")

@@ -59,6 +59,9 @@ class EngineConfig:
                                            # the video's flow range
 
 
+_maxabs = jax.jit(lambda f: jnp.max(jnp.abs(f)))
+
+
 def _round_up(v: int, m: int) -> int:
     return -(-v // m) * m
 
@@ -180,18 +183,26 @@ class StylizerEngine:
         out = self._jit_first(jnp.asarray(np.stack(padded)), self._next_key())
         return [out[i, :h, :w] for i in range(len(contents))]
 
-    def stylize_next(self, content, prev_stylized, flow, cert):
+    def stylize_next(self, content, prev_stylized, flow, cert, band_hint=None):
         """prev_stylized may be the device array returned by a previous
         stylize_* call — the temporal recurrence then never round-trips
-        through the host."""
+        through the host. band_hint: warp band already known to cover
+        |flow| (e.g. from the streaming flow provider) — skips the
+        per-frame flow-range readback."""
+        if self.config.exact_warp:
+            band = None
+        elif band_hint is not None:
+            band = band_hint
+        elif isinstance(flow, np.ndarray):
+            band = warp.flow_band(float(np.abs(flow).max()))
+        else:
+            # device-side reduction + scalar readback (a host-side
+            # np.abs(...).max() would download the whole flow field)
+            band = warp.flow_band(float(_maxabs(jnp.asarray(flow))))
         content, (h, w) = self._pad(content)
         prev_stylized, _ = self._pad(prev_stylized)
         flow, _ = self._pad(flow)
         cert, _ = self._pad(cert, mode="constant")  # padded area = occluded
-        if self.config.exact_warp:
-            band = None
-        else:
-            band = warp.flow_band(float(np.abs(np.asarray(flow)).max()))
         out = self._jit_next(
             jnp.asarray(content),
             jnp.asarray(prev_stylized),

@@ -75,6 +75,50 @@ def test_flow_training_reduces_epe(rng):
     assert epe1 < epe0
 
 
+def test_phase_first_conv_exact(rng):
+    """The phase-domain (space-to-depth) form of the level-0 stride-2 conv
+    must match the direct strided conv exactly."""
+    params = estimator.init_params(jax.random.PRNGKey(3))
+    with jax.default_matmul_precision("highest"):
+        x = jnp.asarray(rng.random((2, 32, 48, 3)), jnp.float32)
+        direct = estimator._conv(params, "pyr0_a", x, stride=2)
+        phased = estimator._conv_s2_phase(params, "pyr0_a", x)
+    assert phased.shape == direct.shape
+    np.testing.assert_allclose(np.asarray(phased), np.asarray(direct),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_refine_pair_matches_flow(rng):
+    """The streaming path (cached pyramids + both directions in one jit)
+    must agree with two independent flow() calls."""
+    params = estimator.init_params(jax.random.PRNGKey(0))
+    est = estimator.FlowEstimator(params)
+    f1 = _smooth_image(rng, 32, 48)
+    f2 = np.roll(f1, 2, axis=1)
+    fa = est.prep(f1)
+    fb = est.prep(f2)
+    flow_ab, flow_ba, maxabs = est.refine_pair(fa, fb, (32, 48))
+    np.testing.assert_allclose(np.asarray(flow_ab), est.flow(f1, f2),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(flow_ba), est.flow(f2, f1),
+                               atol=1e-4, rtol=1e-4)
+    assert abs(float(maxabs) - np.abs(np.asarray(flow_ab)).max()) < 1e-5
+
+
+def test_refine_pair_flow_scale(rng):
+    """Scaled streaming path: outputs full-res flows in full-res pixel
+    units (values scaled by 1/flow_scale)."""
+    params = estimator.init_params(jax.random.PRNGKey(0))
+    est = estimator.FlowEstimator(params)
+    f1 = _smooth_image(rng, 64, 64)
+    f2 = np.roll(f1, 3, axis=0)
+    fa = est.prep(f1, flow_scale=0.5)
+    fb = est.prep(f2, flow_scale=0.5)
+    flow_ab, flow_ba, _ = est.refine_pair(fa, fb, (64, 64), flow_scale=0.5)
+    assert flow_ab.shape == (64, 64, 2) and flow_ba.shape == (64, 64, 2)
+    assert np.all(np.isfinite(np.asarray(flow_ab)))
+
+
 def test_streaming_provider(rng):
     params = estimator.init_params(jax.random.PRNGKey(0))
     provider = StreamingFlowProvider(params, use_structure=False)
