@@ -26,6 +26,7 @@ from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .arch_dsl import LayerSpec, ModelSpec, parse_arch  # noqa: F401 (re-export)
 
@@ -105,6 +106,135 @@ def upsample_nearest(x, scale: int):
     return x.reshape(n, h * scale, w * scale, c)
 
 
+# ---------------------------------------------------------------------------
+# space-to-depth (phase-domain) machinery
+#
+# Convs whose channel counts sit far below the 128-lane MXU width (the 7-in
+# front conv, the 3-out tail conv) waste most of the systolic array. Each
+# space-to-depth level trades 2x2 spatial for 4x channels EXACTLY: a stride-1
+# size-preserving conv becomes a conv on the phased tensor with a re-indexed
+# (roughly half-sized) kernel. The helpers below implement one level of that
+# index algebra; they compose, so two levels give 16x the channels at 1/16th
+# the positions.
+# ---------------------------------------------------------------------------
+
+
+def _s2d(x):
+    """One space-to-depth level: (N, H, W, C) -> (N, H/2, W/2, 4C), channel
+    blocks indexed (row_parity*2 + col_parity)."""
+    n, h, w, c = x.shape
+    xs = x.reshape(n, h // 2, 2, w // 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+    return xs.reshape(n, h // 2, w // 2, 4 * c)
+
+
+def _d2s(y, co: int):
+    """Inverse of _s2d for phase-MAJOR channel blocks of width co."""
+    n, h, w, _ = y.shape
+    y = y.reshape(n, h, w, 2, 2, co).transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(n, 2 * h, 2 * w, co)
+
+
+def _kbuf(shape, like):
+    """Accumulation buffer for build-time kernel transforms. When `like` is a
+    CONCRETE array (inference: params closed over in the jit), build in host
+    numpy so the transformed kernel enters the graph as one literal — XLA's
+    constant folder gives up on long .at[].add chains, which would otherwise
+    re-run the whole transform on device EVERY dispatch (measured ~5 ms/frame
+    at 1080p). Under tracing (training), fall back to traced jnp ops."""
+    if isinstance(like, jax.core.Tracer):
+        zeros = jnp.zeros(shape, like.dtype)
+        return zeros, (lambda buf, idx, val: buf.at[idx].add(val)), like, jnp.asarray
+    arr = np.asarray(like)
+    zeros = np.zeros(shape, arr.dtype)
+
+    def add(buf, idx, val):
+        buf[idx] += val
+        return buf
+
+    return zeros, add, arr, jnp.asarray
+
+
+def _phase_level_kernel(w, pads):
+    """One s2d level of a stride-1 size-preserving conv.
+
+    Given kernel w (kh, kw, CI, CO) and pads ((plh, phh), (plw, phw)) with
+    pl+ph = k-1, returns (w2, pads2) such that
+      conv(x, w, pads) == d2s(conv(s2d(x), w2, pads2), 4*CO-blocks)
+    exactly. Index algebra per axis: output phase mu, tap u ->
+    t = mu + u - pl; block shift S = t >> 1, input phase nu = t & 1.
+    Output channel blocks are phase-major (mu_h*2 + mu_w)."""
+    kh, kw, ci, co = w.shape
+    (plh, phh), (plw, phw) = pads
+    sh = [(mu + u - plh) >> 1 for mu in range(2) for u in range(kh)]
+    sw = [(mu + v - plw) >> 1 for mu in range(2) for v in range(kw)]
+    shmin, shmax = min(sh), max(sh)
+    swmin, swmax = min(sw), max(sw)
+    w2, add, wsrc, done = _kbuf(
+        (shmax - shmin + 1, swmax - swmin + 1, 4 * ci, 4 * co), w)
+    for muh in range(2):
+        for muw in range(2):
+            for u in range(kh):
+                for v in range(kw):
+                    th, tw = muh + u - plh, muw + v - plw
+                    nu = ((th & 1) * 2 + (tw & 1)) * ci
+                    mu = (muh * 2 + muw) * co
+                    idx = ((th >> 1) - shmin, (tw >> 1) - swmin,
+                           slice(nu, nu + ci), slice(mu, mu + co))
+                    w2 = add(w2, idx, wsrc[u, v])
+    return done(w2), ((-shmin, shmax), (-swmin, swmax))
+
+
+def _phase_stride2_kernel(w, in_levels: int):
+    """A 3x3 stride-2 pad-1 conv consuming an `in_levels`-phased input and
+    producing an (in_levels-1)-phased output (in_levels=1: true grid), as a
+    2x2 conv with block pads (1, 0).
+
+    Per axis with P = 2**in_levels: output phase mu (in_levels-1 bits),
+    tap u -> t = 2*mu + u - 1; input phase nu = t mod P, shift S = t >> L
+    (always in {-1, 0}). Channel blocks phase-major per level (outer bit
+    first), matching repeated _s2d nesting."""
+    ci, co = w.shape[2], w.shape[3]
+    L = in_levels
+    P = 1 << L
+    Q = 1 << (L - 1)
+
+    def blk(vh, vw, levels):
+        idx = 0
+        for level in range(levels - 1, -1, -1):
+            idx = idx * 4 + ((vh >> level) & 1) * 2 + ((vw >> level) & 1)
+        return idx
+
+    k, add, wsrc, done = _kbuf((2, 2, P * P * ci, Q * Q * co), w)
+    for muh in range(Q):
+        for muw in range(Q):
+            for u in range(3):
+                for v in range(3):
+                    th, tw = 2 * muh + u - 1, 2 * muw + v - 1
+                    nu = blk(th % P, tw % P, L) * ci
+                    mu = blk(muh, muw, L - 1) * co if L > 1 else 0
+                    idx = ((th >> L) + 1, (tw >> L) + 1,
+                           slice(nu, nu + ci), slice(mu, mu + co))
+                    k = add(k, idx, wsrc[u, v])
+    return done(k)
+
+
+def _grouped_instance_norm(y, scale, bias, phases: int, eps: float = 1e-5):
+    """Instance norm over a phase-major phased tensor with statistics grouped
+    across the phases — exactly the full-resolution statistics, since the
+    phases partition the pixels."""
+    n, h, w, _ = y.shape
+    o = y.shape[-1] // phases
+    yg = y.reshape(n, h, w, phases, o)
+    mean = jnp.mean(yg, axis=(1, 2, 3), keepdims=True, dtype=jnp.float32)
+    mean_sq = jnp.mean(jnp.square(yg.astype(jnp.float32)), axis=(1, 2, 3),
+                       keepdims=True, dtype=jnp.float32)
+    var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
+    eff_scale = jax.lax.rsqrt(var + eps) * scale.astype(jnp.float32)
+    eff_bias = bias.astype(jnp.float32) - mean * eff_scale
+    yg = (yg.astype(jnp.float32) * eff_scale + eff_bias).astype(y.dtype)
+    return yg.reshape(n, h, w, phases * o)
+
+
 def _folded_upsample_conv(x, w, b, ksize: int, pad: int):
     """Exact rewrite of [nearest-upsample x2 -> k x k stride-1 zero-pad conv]
     as one phase conv at LOW resolution + depth-to-space.
@@ -121,93 +251,86 @@ def _folded_upsample_conv(x, w, b, ksize: int, pad: int):
     offsets = [(a + u - pad) // 2 for a in range(2) for u in range(ksize)]
     smin, smax = min(offsets), max(offsets)
     ks = smax - smin + 1
-    k = jnp.zeros((ks, ks, c, 4 * o), w.dtype)
+    k, add, wsrc, done = _kbuf((ks, ks, c, 4 * o), w)
     for a in range(2):
         for bb in range(2):
             for u in range(ksize):
                 for v in range(ksize):
                     si = (a + u - pad) // 2 - smin
                     sj = (bb + v - pad) // 2 - smin
-                    k = k.at[si, sj, :, (a * 2 + bb) * o : (a * 2 + bb) * o + o].add(w[u, v])
-    y = jax.lax.conv_general_dilated(
-        x,
-        k.astype(x.dtype),
-        window_strides=(1, 1),
-        padding=((-smin, smax), (-smin, smax)),
-        dimension_numbers=_DN,
-        preferred_element_type=x.dtype,
-    )
-    y = y + jnp.tile(b.astype(x.dtype), 4)
+                    idx = (si, sj, slice(None), slice((a * 2 + bb) * o, (a * 2 + bb) * o + o))
+                    k = add(k, idx, wsrc[u, v])
+    k = done(k)
+    pads = ((-smin, smax), (-smin, smax))
+    if 4 * o <= 16 and ks >= 4 and h % 2 == 0 and ww % 2 == 0:
+        # output channels still starve the MXU (e.g. the canonical 9x9 64->3
+        # tail folds to a 5x5 64->12): take one more s2d level — a ~3x3 conv
+        # with 4x channels on both sides at quarter resolution
+        k2, pads2 = _phase_level_kernel(k, pads)
+        y = jax.lax.conv_general_dilated(
+            _s2d(x), k2.astype(x.dtype), (1, 1), pads2,
+            dimension_numbers=_DN, preferred_element_type=x.dtype,
+        ) + jnp.tile(b.astype(x.dtype), 16)
+        y = _d2s(y, 4 * o)
+    else:
+        y = jax.lax.conv_general_dilated(
+            x, k.astype(x.dtype), (1, 1), pads,
+            dimension_numbers=_DN, preferred_element_type=x.dtype,
+        ) + jnp.tile(b.astype(x.dtype), 4)
     # depth-to-space: channel blocks are phase-major (a*2+b)
-    y = y.reshape(n, h, ww, 2, 2, o).transpose(0, 1, 3, 2, 4, 5)
-    return y.reshape(n, 2 * h, 2 * ww, o)
+    return _d2s(y, o)
 
 
-def _phase_front(x, p0, layer0, norm0, p1, spec):
+def _phase_front(x, p0, layer0, norm0, p1, spec, levels: int = 1,
+                 norm1=None, p2=None):
     """Exact phase-domain front end: [conv k s1 (SAME) -> IN -> ReLU ->
-    3x3 s2 conv] computed entirely in space-to-depth domain.
+    3x3 s2 conv (-> IN -> ReLU -> 3x3 s2 conv)] computed entirely in
+    space-to-depth domain.
 
-    The two full-resolution convs dominate the canonical net at 1080p
-    (~9 + ~5.6 ms of a ~33 ms step) because C_in=7 / the strided access
-    starve the MXU. In phase domain: one VALID conv with a (k+1)/2-sized
-    4-phase kernel (C 4x wider), instance norm with per-real-channel stats
-    grouped across the 4 phases (nearest phases partition the pixels, so
-    grouped stats == full-res stats exactly), ReLU, then the stride-2 conv
-    as a 2x2 phase kernel — full resolution is never materialized.
-    """
-    n, h, w, c = x.shape
+    The full-resolution convs dominate the canonical net at 1080p (the 7-in
+    front conv runs at a few percent of MXU peak). levels=1: one s2d level;
+    the first conv becomes a (k+1)/2-sized 4-phase kernel, instance norm
+    groups its statistics across the 4 phases (the phases partition the
+    pixels, so grouped stats == full-res stats exactly), and the stride-2
+    conv is a 2x2 phase kernel — returns the true half-res grid.
+    levels=2 (H, W % 4 == 0): two s2d levels (16 phases, ~quarter-sized
+    kernel, 16x channels on both sides of the MXU), the first stride-2 conv
+    produces a 4-phase half-res tensor, its norm/relu run grouped
+    (norm1), and the SECOND stride-2 conv (p2, e.g. the canonical d128) is
+    absorbed too — returns the true quarter-res grid and no resolution above
+    it is ever materialized."""
     k0, pad0 = layer0.ksize, layer0.pad
     o0 = p0["w"].shape[-1]
-    # --- space-to-depth with the first conv's zero padding
-    xp = jnp.pad(x, ((0, 0), (pad0, pad0), (pad0, pad0), (0, 0)))
-    hp, wp = xp.shape[1], xp.shape[2]
-    xs = xp.reshape(n, hp // 2, 2, wp // 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
-    xs = xs.reshape(n, hp // 2, wp // 2, 4 * c)
-    # --- first conv as a 4-phase kernel (phase-major output blocks)
-    ks = (k0 + 1) // 2
-    k = jnp.zeros((ks, ks, 4 * c, 4 * o0), p0["w"].dtype)
-    for a in range(2):
-        for bb in range(2):
-            for u in range(k0):
-                for v in range(k0):
-                    pi, qi = (a + u) // 2, (a + u) % 2
-                    pj, qj = (bb + v) // 2, (bb + v) % 2
-                    k = k.at[
-                        pi, pj,
-                        (qi * 2 + qj) * c : (qi * 2 + qj) * c + c,
-                        (a * 2 + bb) * o0 : (a * 2 + bb) * o0 + o0,
-                    ].add(p0["w"][u, v])
+    w0, pads = p0["w"], ((pad0, pad0), (pad0, pad0))
+    xs = x
+    for _ in range(levels):
+        w0, pads = _phase_level_kernel(w0, pads)
+        xs = _s2d(xs)
+    P = 4 ** levels
     y = jax.lax.conv_general_dilated(
-        xs, k.astype(x.dtype), (1, 1), "VALID",
+        xs, w0.astype(x.dtype), (1, 1), pads,
         dimension_numbers=_DN, preferred_element_type=x.dtype,
-    ) + jnp.tile(p0["b"].astype(x.dtype), 4)
-    # --- instance norm with phase-grouped statistics (exact full-res stats)
-    h2, w2 = y.shape[1], y.shape[2]
-    yg = y.reshape(n, h2, w2, 4, o0)
-    mean = jnp.mean(yg, axis=(1, 2, 3), keepdims=True, dtype=jnp.float32)
-    mean_sq = jnp.mean(jnp.square(yg.astype(jnp.float32)), axis=(1, 2, 3),
-                       keepdims=True, dtype=jnp.float32)
-    var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
-    eff_scale = jax.lax.rsqrt(var + 1e-5) * norm0["scale"].astype(jnp.float32)
-    eff_bias = norm0["bias"].astype(jnp.float32) - mean * eff_scale
-    yg = (yg.astype(jnp.float32) * eff_scale + eff_bias).astype(x.dtype)
-    y = jax.nn.relu(yg.reshape(n, h2, w2, 4 * o0))
-    # --- stride-2 3x3 pad-1 conv as a 2x2 phase kernel, phase pad (1, 0)
-    w1 = p1["w"]  # (3, 3, o0, o1)
-    o1 = w1.shape[-1]
-    k1 = jnp.zeros((2, 2, 4 * o0, o1), w1.dtype)
-    for u in range(3):
-        for v in range(3):
-            su, au = (u - 1) // 2 + 1, (u - 1) % 2
-            sv, av = (v - 1) // 2 + 1, (v - 1) % 2
-            k1 = k1.at[su, sv, (au * 2 + av) * o0 : (au * 2 + av) * o0 + o0, :].add(
-                w1[u, v]
-            )
+    ) + jnp.tile(p0["b"].astype(x.dtype), P)
+    y = _grouped_instance_norm(y, norm0["scale"], norm0["bias"], P)
+    y = jax.nn.relu(y)
+    # --- stride-2 3x3 pad-1 conv: 2x2 phase kernel, block pad (1, 0)
+    k1 = _phase_stride2_kernel(p1["w"], levels)
     z = jax.lax.conv_general_dilated(
         y, k1.astype(x.dtype), (1, 1), ((1, 0), (1, 0)),
         dimension_numbers=_DN, preferred_element_type=x.dtype,
-    ) + p1["b"].astype(x.dtype)
-    return z
+    ) + jnp.tile(p1["b"].astype(x.dtype), 4 ** (levels - 1))
+    if levels == 1:
+        return z
+    # levels == 2: z is the 4-phase half-res grid; finish the first strided
+    # layer's norm/relu with grouped stats, then absorb the second strided
+    # conv, landing on the true quarter-res grid
+    z = _grouped_instance_norm(z, norm1["scale"], norm1["bias"], 4)
+    z = jax.nn.relu(z)
+    k2 = _phase_stride2_kernel(p2["w"], 1)
+    return jax.lax.conv_general_dilated(
+        z, k2.astype(x.dtype), (1, 1), ((1, 0), (1, 0)),
+        dimension_numbers=_DN, preferred_element_type=x.dtype,
+    ) + p2["b"].astype(x.dtype)
 
 
 def shave(x, s: int):
@@ -314,18 +437,18 @@ def _s2d_conv(x, w, b, ksize: int, pad: int):
     xs = xp.reshape(n, hp // 2, 2, wp // 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
     xs = xs.reshape(n, hp // 2, wp // 2, 4 * c)
     ks = (ksize + 1) // 2
-    k = jnp.zeros((ks, ks, 4 * c, 4 * o), w.dtype)
+    k, add, wsrc, done = _kbuf((ks, ks, 4 * c, 4 * o), w)
     for a in range(2):
         for bb in range(2):
             for u in range(ksize):
                 for v in range(ksize):
                     pi, qi = (a + u) // 2, (a + u) % 2
                     pj, qj = (bb + v) // 2, (bb + v) % 2
-                    k = k.at[
-                        pi, pj,
-                        (qi * 2 + qj) * c : (qi * 2 + qj) * c + c,
-                        (a * 2 + bb) * o : (a * 2 + bb) * o + o,
-                    ].add(w[u, v])
+                    idx = (pi, pj,
+                           slice((qi * 2 + qj) * c, (qi * 2 + qj) * c + c),
+                           slice((a * 2 + bb) * o, (a * 2 + bb) * o + o))
+                    k = add(k, idx, wsrc[u, v])
+    k = done(k)
     y = jax.lax.conv_general_dilated(
         xs,
         k.astype(x.dtype),
@@ -340,7 +463,8 @@ def _s2d_conv(x, w, b, ksize: int, pad: int):
     return y.reshape(n, 2 * hh, 2 * wh, o)
 
 
-def apply(params: Params, spec: ModelSpec, x, *, dtype=None, optimize: bool = True):
+def apply(params: Params, spec: ModelSpec, x, *, dtype=None, optimize: bool = True,
+          stop_after=None):
     """Run the stylizer. x: (N, H, W, in_channels) in preprocessed (VGG)
     space; returns (N, H, W, 3) in VGG space (pre-deprocess).
 
@@ -371,6 +495,11 @@ def apply(params: Params, spec: ModelSpec, x, *, dtype=None, optimize: bool = Tr
         and spec.layers[1].pad_mode is None
         and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
     ):
+        # NOTE: a 2-level front (16 phases, absorbing the second strided conv
+        # too — levels=2 path of _phase_front) is implemented and exact, but
+        # measured SLOWER at 1080p: the extra s2d relayout costs ~1.1 ms and
+        # the 16-phase stride-2 kernel is 8x zero-padded (2x2x16 dense taps
+        # for 9 logical), so one level is the optimum here (BENCH_NOTES.md).
         x = _phase_front(
             x, params["layer00"], spec.layers[0], params["layer00_norm"],
             params["layer01"], spec,
@@ -380,10 +509,14 @@ def apply(params: Params, spec: ModelSpec, x, *, dtype=None, optimize: bool = Tr
         if spec.layers[1].relu_after:
             x = jax.nn.relu(x)
         start = 2
+    if stop_after is not None and stop_after < start:
+        return x
     skip_next_conv = False
     for i, layer in enumerate(spec.layers):
         if i < start:
             continue
+        if stop_after is not None and i > stop_after:
+            return x
         name = f"layer{i:02d}"
         p = params.get(name)
         if skip_next_conv:

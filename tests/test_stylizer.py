@@ -162,3 +162,41 @@ def test_bf16_fp32_parity():
         ops.vgg_deprocess(stylizer.apply(params, spec, x, dtype=jnp.bfloat16))
     )
     assert np.abs(y32 - ybf).mean() < 1e-2
+
+
+def test_two_level_phase_front_exact():
+    """The levels=2 phase front (16 phases, absorbing BOTH strided convs)
+    must reproduce the unoptimized graph exactly. Not used by apply() at
+    1080p (one level measured faster there) but kept exact for shapes/archs
+    where it wins."""
+    spec = arch_dsl.parse_arch("canonical", in_channels=7)
+    params = stylizer.init_params(jax.random.PRNGKey(5), spec)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.random((1, 48, 64, 7)), jnp.float32)
+    with jax.default_matmul_precision("highest"):
+        xp = stylizer._pad2d(x, spec.input_pad, "reflect")
+        got = stylizer._phase_front(
+            xp, params["layer00"], spec.layers[0], params["layer00_norm"],
+            params["layer01"], spec, levels=2,
+            norm1=params["layer01_norm"], p2=params["layer02"],
+        )
+        want = stylizer.apply(params, spec, x, optimize=False, stop_after=2)
+        # reference path applies layer02's norm+relu; replicate on `got`
+        got = stylizer._norm_apply(got, params["layer02_norm"], True)
+        got = jax.nn.relu(got)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_two_level_folded_upsample_conv_exact():
+    """U2 + 9x9 conv to few channels folds through TWO s2d levels (the
+    4*o <= 16 branch of _folded_upsample_conv) — must equal upsample+conv."""
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.random((1, 24, 28, 64)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(9, 9, 64, 3)) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(3,)), jnp.float32)
+    with jax.default_matmul_precision("highest"):
+        got = stylizer._folded_upsample_conv(x, w, b, 9, 4)
+        want = stylizer.conv2d(stylizer.upsample_nearest(x, 2), w, b, 1, 4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
