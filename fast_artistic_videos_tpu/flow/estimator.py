@@ -10,7 +10,7 @@ Design (TPU-first):
   * Shared 5-level conv feature pyramid (stride-2 convs, NHWC, bf16-safe).
   * Coarse-to-fine refinement: at each level the second image's features are
     warped by the upsampled flow estimate (ops.warp banded path), a local
-    correlation cost volume (radius 4 -> 81 channels, built from static
+    correlation cost volume (radius 3 -> 49 channels, built from static
     shifts — no gathers) is fed with features + current flow into a small
     conv stack predicting a flow residual.
   * Final flow upsampled to input resolution and scaled.

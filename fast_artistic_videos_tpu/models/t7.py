@@ -16,7 +16,8 @@ Format (Torch7 binary, little-endian):
            payload (tensors/storages have native payloads; nn modules store
            their instance-variable table as a record)
   type 5   boolean (int32)
-  type 6/7/8 function (int32 len dump + upvalue table) — skipped
+  type 6   function: int32 len dump + upvalue table — skipped
+  type 7/8 recursive function: int32 heap-index, then as type 6 — skipped
   tensors  := int32 ndim, int64[ndim] size, int64[ndim] stride,
               int64 storage_offset (1-based), storage record
   storages := int64 count, raw elements
@@ -137,7 +138,18 @@ class _Reader:
             else:
                 cls = version  # legacy: the version string is the class name
             return self._read_torch_payload(idx, cls)
-        if typ in (TYPE_FUNCTION, TYPE_RECUR_FUNCTION, TYPE_LEGACY_RECUR_FUNCTION):
+        if typ == TYPE_FUNCTION:
+            # no heap index (torch7 File.lua TYPE_FUNCTION branch)
+            size = self.read_int()
+            self._take(size)
+            self.read_object()  # upvalues
+            return None
+        if typ in (TYPE_RECUR_FUNCTION, TYPE_LEGACY_RECUR_FUNCTION):
+            # unlike TYPE_FUNCTION these carry a heap index before the dump
+            idx = self.read_int()
+            if idx in self.memo:
+                return self.memo[idx]
+            self.memo[idx] = None
             size = self.read_int()
             self._take(size)
             self.read_object()  # upvalues

@@ -86,7 +86,7 @@ def _banded_vpass(planes, off, band: int, interpret: bool = False):
         kernel,
         grid=(c, h // _TILE),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((_TILE, w), lambda ci, i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, _TILE, w), lambda ci, i: (ci, i, 0),

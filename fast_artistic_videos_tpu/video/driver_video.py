@@ -254,13 +254,18 @@ class VideoDriver:
 
     def _write_eval_file(self):
         """Reference format (core.lua:231-240): one semicolon-joined series
-        per metric, then per-metric means."""
+        per metric, then per-metric means.
+
+        Fixed vs reference: core.lua:237 divides by opt.num_frames (default
+        9999), which is wrong whenever the driver auto-detects the sequence
+        end; we divide by the actual evaluated-frame count, matching the VR
+        driver (see README "faithful-vs-fixed")."""
         cols = list(zip(*self.eval_rows))
         with open(self.opt.evaluation_file, "a") as f:
             for series in cols:
                 f.write(";".join(str(v) for v in series) + "\n")
             for series in cols:
-                f.write(str(sum(series) / max(1, self.opt.num_frames)) + "\n")
+                f.write(str(sum(series) / max(1, len(series))) + "\n")
 
 
 def _resize_bicubic(arr, scale: float):

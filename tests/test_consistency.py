@@ -115,6 +115,61 @@ def test_cpp_tool_with_structure(checker_binary, tmp_path, rng):
     assert (np.abs(cpp - jx) > 1e-6).mean() < 0.03
 
 
+REF_CHECKER_DIR = "/root/reference/consistencyChecker"
+
+
+@pytest.fixture(scope="session")
+def reference_binary(tmp_path_factory):
+    """Compile the actual reference consistencyChecker (Brox C++ sources).
+
+    Skips when the reference tree is not present (e.g. a standalone clone of
+    this repo); in the build container the sources are read-only at
+    /root/reference and compile with plain g++."""
+    if not os.path.exists(os.path.join(REF_CHECKER_DIR, "consistencyChecker.cpp")):
+        pytest.skip("reference consistencyChecker sources not available")
+    out = str(tmp_path_factory.mktemp("refchk") / "ref_checker")
+    subprocess.run(
+        ["g++", "-O2", "-w", "-o", out,
+         os.path.join(REF_CHECKER_DIR, "consistencyChecker.cpp"),
+         os.path.join(REF_CHECKER_DIR, "NMath.cpp"),
+         "-I", REF_CHECKER_DIR],
+        check=True, capture_output=True,
+    )
+    return out
+
+
+@pytest.mark.parametrize("with_structure", [False, True])
+def test_cpp_tool_bit_exact_vs_reference_binary(
+    checker_binary, reference_binary, tmp_path, rng, with_structure
+):
+    """README claims bit-exactness vs the reference binary; enforce it here
+    (consistencyChecker.cpp:80-172), with and without the structure image."""
+    H, W = 96, 128
+    f1 = np.stack(
+        [_smooth(rng.normal(size=(H, W))) * 8, _smooth(rng.normal(size=(H, W))) * 8], -1
+    ).astype(np.float32)
+    f1[:, 60:, 0] += 6.0
+    f2 = (-f1 + rng.normal(size=f1.shape) * 0.05).astype(np.float32)
+    io.write_flo(str(tmp_path / "f1.flo"), f1)
+    io.write_flo(str(tmp_path / "f2.flo"), f2)
+    extra = []
+    if with_structure:
+        img = (_smooth(rng.normal(size=(H, W)))[..., None] * 0.3 + 0.5).clip(0, 1)
+        img = np.repeat(img, 3, axis=2).astype(np.float32)
+        io.save_image(str(tmp_path / "frame.ppm"), img)
+        extra = [str(tmp_path / "frame.ppm")]
+    args = [str(tmp_path / "f1.flo"), str(tmp_path / "f2.flo")]
+    subprocess.run([reference_binary, *args, str(tmp_path / "ref.pgm"), *extra],
+                   check=True, capture_output=True)
+    subprocess.run([checker_binary, *args, str(tmp_path / "ours.pgm"), *extra],
+                   check=True, capture_output=True)
+    with open(tmp_path / "ref.pgm", "rb") as f:
+        ref_bytes = f.read()
+    with open(tmp_path / "ours.pgm", "rb") as f:
+        our_bytes = f.read()
+    assert ref_bytes == our_bytes
+
+
 def test_cpp_tool_bad_args(checker_binary, tmp_path):
     r = subprocess.run([checker_binary], capture_output=True)
     assert r.returncode == 2
