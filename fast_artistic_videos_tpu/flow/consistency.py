@@ -172,6 +172,48 @@ def _consistency_impl(flow1, flow2, image, use_structure: bool, band=None,
     return jnp.clip(reliable, 0.0, 255.0)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("out_hw", "use_structure", "band", "rho"))
+def _consistency_streaming_impl(flow1, flow2, image, out_hw,
+                                use_structure: bool, band, rho: float):
+    hs, ws = flow1.shape[0], flow1.shape[1]
+    h, w = out_hw
+    if use_structure and image.shape[:2] != (hs, ws):
+        image = jax.image.resize(image, (hs, ws, image.shape[2]), "bilinear")
+    mask = _consistency_impl(flow1, flow2, image, use_structure, band, rho)
+    if (hs, ws) != (h, w):
+        fh, fw = h // hs, w // ws
+        if (fh * hs, fw * ws) == (h, w):
+            mask = jnp.broadcast_to(
+                mask[:, None, :, None], (hs, fh, ws, fw)).reshape(h, w)
+        else:
+            mask = jax.image.resize(mask, (h, w), "nearest")
+    return mask
+
+
+def consistency_mask_streaming(flow1, flow2, image=None, out_hw=None,
+                               rho: float = 3.0, band=None):
+    """Consistency check at the flow's NATIVE resolution, mask upsampled
+    (nearest) to `out_hw`.
+
+    The streaming provider estimates flow at `flow_scale` resolution; running
+    the check there instead of on the upsampled full-res flow costs ~4x/16x
+    less (the structure tensor included — the full-res image is resized
+    down internally) and is what the file pipeline would produce had the
+    video been that size. flow1/flow2 are in THEIR OWN pixel units (so are
+    the decision thresholds — same property as the reference checking
+    whatever resolution the .flo has). Documented streaming divergence, like
+    the banded sample (README faithful-vs-fixed).
+    """
+    out_hw = tuple(out_hw) if out_hw is not None else flow1.shape[:2]
+    if image is not None:
+        return _consistency_streaming_impl(
+            flow1, flow2, image, out_hw, True, band, float(rho)) / 255.0
+    dummy = jnp.zeros(flow1.shape[:2] + (1,), jnp.float32)
+    return _consistency_streaming_impl(
+        flow1, flow2, dummy, out_hw, False, band, float(rho)) / 255.0
+
+
 def consistency_mask(flow1, flow2, image=None, rho: float = 3.0, band=None):
     """Reliability of flow1 cross-checked against flow2.
 

@@ -273,14 +273,24 @@ class FlowEstimator:
             x = jax.device_put(x, self.device)
         return fn(x)
 
-    def refine_pair(self, feats_a, feats_b, out_hw, flow_scale: float = 1.0):
+    def refine_pair(self, feats_a, feats_b, out_hw, flow_scale: float = 1.0,
+                    with_lowres: bool = False):
         """Both flow directions from two cached pyramids, in ONE compiled
-        program: (flow_ab, flow_ba, maxabs_ab) where flows are (H, W, 2)
+        program.
+
+        with_lowres=False: (flow_ab, flow_ba, maxabs_ab) — flows (H, W, 2)
         float32 device arrays cropped/upsampled to `out_hw` in full-res pixel
-        units, and maxabs_ab = max |flow_ab| (a scalar the provider reads back
-        to pick the banded-consistency bucket without an extra dispatch)."""
+        units, maxabs_ab = max |flow_ab| (a scalar the provider reads back to
+        pick the banded-consistency bucket without an extra dispatch).
+
+        with_lowres=True (the streaming provider's flow-res consistency
+        path): (flow_ab_full, flow_ab_low, flow_ba_low, maxabs_low) — only
+        the checked direction is upsampled; both directions are also
+        returned at the estimation resolution in estimation-res pixel units
+        for the consistency check, and maxabs_low is in those units."""
         h, w = out_hw
-        key = (tuple(f.shape for f in feats_a), h, w, float(flow_scale))
+        key = (tuple(f.shape for f in feats_a), h, w, float(flow_scale),
+               bool(with_lowres))
         fn = self._pair_cache.get(key)
         if fn is None:
             if flow_scale != 1.0:
@@ -288,16 +298,22 @@ class FlowEstimator:
             else:
                 hs, ws = h, w
 
-            def _post(flow):
-                flow = flow[0, :hs, :ws]
+            def _up(flow):
                 if (hs, ws) != (h, w):
                     flow = jax.image.resize(flow, (h, w, 2), "bilinear") / flow_scale
                 return flow
 
-            def _pair(fa, fb):
-                flow_ab = _post(refine(self.params, list(fa), list(fb)))
-                flow_ba = _post(refine(self.params, list(fb), list(fa)))
-                return flow_ab, flow_ba, jnp.max(jnp.abs(flow_ab))
+            if with_lowres:
+                def _pair(fa, fb):
+                    low_ab = refine(self.params, list(fa), list(fb))[0, :hs, :ws]
+                    low_ba = refine(self.params, list(fb), list(fa))[0, :hs, :ws]
+                    return (_up(low_ab), low_ab, low_ba,
+                            jnp.max(jnp.abs(low_ab)))
+            else:
+                def _pair(fa, fb):
+                    flow_ab = _up(refine(self.params, list(fa), list(fb))[0, :hs, :ws])
+                    flow_ba = _up(refine(self.params, list(fb), list(fa))[0, :hs, :ws])
+                    return flow_ab, flow_ba, jnp.max(jnp.abs(flow_ab))
 
             fn = jax.jit(_pair)
             self._pair_cache[key] = fn

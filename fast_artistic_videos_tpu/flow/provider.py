@@ -31,12 +31,19 @@ class StreamingFlowProvider:
     frames in playback order."""
 
     def __init__(self, params=None, use_structure: bool = True, device=None,
-                 flow_scale: float = 1.0, flow_estimator=None):
+                 flow_scale: float = 1.0, flow_estimator=None,
+                 consistency_at_flow_res: bool = True):
         """flow_scale < 1 estimates flow at reduced resolution and rescales
         (flow at 540p costs ~4x less than 1080p and the consistency mask is
         robust to it); 1.0 = full resolution. Pass a shared `flow_estimator`
         when building several providers (the VR driver runs six, one per cube
-        face) so they share one set of compiled programs."""
+        face) so they share one set of compiled programs.
+
+        consistency_at_flow_res=True (default) runs the consistency check at
+        the flow's estimation resolution and nearest-upsamples the mask —
+        ~4x/16x cheaper at flow_scale 0.5/0.25 with the structure tensor
+        included (consistency.consistency_mask_streaming). False checks the
+        upsampled full-res flow (the pre-round-2 behavior)."""
         if flow_estimator is not None:
             self.estimator = flow_estimator
         else:
@@ -45,6 +52,7 @@ class StreamingFlowProvider:
             self.estimator = estimator.FlowEstimator(params, device=device)
         self.use_structure = use_structure
         self.flow_scale = flow_scale
+        self.consistency_at_flow_res = consistency_at_flow_res
         self._prev_feats = None
         self._pending_maxabs = None
         self.last_band = None
@@ -61,9 +69,16 @@ class StreamingFlowProvider:
         prev_feats, self._prev_feats = self._prev_feats, feats
         if prev_feats is None:
             return None
-        backward, forward, maxabs = self.estimator.refine_pair(
-            feats, prev_feats, frame.shape[:2], self.flow_scale
-        )
+        lowres = self.consistency_at_flow_res and self.flow_scale != 1.0
+        if lowres:
+            backward, bwd_low, fwd_low, maxabs = self.estimator.refine_pair(
+                feats, prev_feats, frame.shape[:2], self.flow_scale,
+                with_lowres=True,
+            )
+        else:
+            backward, forward, maxabs = self.estimator.refine_pair(
+                feats, prev_feats, frame.shape[:2], self.flow_scale
+            )
         # band from the PREVIOUS pair's max |flow| (+1 bucket headroom): its
         # device->host readback has long completed, so this costs nothing,
         # where float(maxabs) would stall ~1 RTT on the in-flight step. Flow
@@ -75,11 +90,17 @@ class StreamingFlowProvider:
             maxabs.copy_to_host_async()  # start the 4-byte D2H now; the
         except AttributeError:           # float() next step finds it ready
             pass
-        if prev_maxabs is None:
-            band = 2 * flow_band(float(maxabs))
-        else:
-            band = 2 * flow_band(float(prev_maxabs))
+        band = 2 * flow_band(float(prev_maxabs if prev_maxabs is not None
+                                   else maxabs))
         image = jnp.asarray(frame) if self.use_structure else None
-        cert = consistency.consistency_mask(backward, forward, image, band=band)
-        self.last_band = band  # warp-band hint for the engine step
+        if lowres:
+            # maxabs/band are in estimation-res pixel units here; the warp
+            # band the engine needs covers the upsampled full-res flow
+            cert = consistency.consistency_mask_streaming(
+                bwd_low, fwd_low, image, out_hw=frame.shape[:2], band=band)
+            self.last_band = flow_band(band / self.flow_scale)
+        else:
+            cert = consistency.consistency_mask(backward, forward, image,
+                                                band=band)
+            self.last_band = band  # warp-band hint for the engine step
         return backward, cert

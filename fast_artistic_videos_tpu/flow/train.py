@@ -42,11 +42,33 @@ def random_flow_field(rng: np.random.Generator, h: int, w: int,
     return np.stack([fx, fy], -1) + fine
 
 
-def make_pair(images: np.ndarray, rng: np.random.Generator):
+def random_flow_field_discontinuous(rng: np.random.Generator, h: int, w: int,
+                                    max_shift: float = 12.0) -> np.ndarray:
+    """Two independently-moving regions split by a smooth random boundary —
+    a motion discontinuity that produces real occlusions/disocclusions when
+    warped (the failure mode a consistency check exists to catch, and one
+    the smooth affine fields never show the estimator)."""
+    fa = random_flow_field(rng, h, w, max_shift)
+    fb = random_flow_field(rng, h, w, max_shift)
+    # smooth scalar field thresholded at its median -> a random curved split
+    coarse = rng.normal(size=(3, 3)).astype(np.float32)
+    fine = np.asarray(jax.image.resize(jnp.asarray(coarse), (h, w), "bicubic"))
+    mask = (fine > np.median(fine)).astype(np.float32)[..., None]
+    return fa * mask + fb * (1.0 - mask)
+
+
+def make_pair(images: np.ndarray, rng: np.random.Generator,
+              p_discontinuous: float = 0.3, max_shift: float = 12.0):
     """images: (N, H, W, 3). Returns (img1, img2, gt_flow) with
-    img1(x) = img2(x + gt(x))."""
+    img1(x) = img2(x + gt(x)). A `p_discontinuous` fraction of fields has
+    piecewise motion with occluding discontinuities."""
     n, h, w = images.shape[:3]
-    flows = np.stack([random_flow_field(rng, h, w) for _ in range(n)])
+    flows = np.stack([
+        random_flow_field_discontinuous(rng, h, w, max_shift)
+        if rng.random() < p_discontinuous else
+        random_flow_field(rng, h, w, max_shift)
+        for _ in range(n)
+    ])
     img2 = images
     img1 = np.asarray(
         warp_ops.bilinear_warp(jnp.asarray(img2), jnp.asarray(flows))
@@ -111,3 +133,126 @@ def train_flow(
 def epe(flow, gt) -> float:
     """Mean endpoint error in pixels."""
     return float(np.mean(np.linalg.norm(np.asarray(flow) - np.asarray(gt), axis=-1)))
+
+
+# ---------------------------------------------------------------------------
+# procedural corpus + device-resident synthetic training (no dataset needed)
+# ---------------------------------------------------------------------------
+
+def random_texture_image(rng: np.random.Generator, h: int, w: int) -> np.ndarray:
+    """A procedural training image: multi-octave smooth noise plus sharp-edged
+    colored shapes — texture at several scales for the correlation volume,
+    and real edges for the refinement convs. Stands in for a photo corpus
+    when none is available."""
+    img = np.zeros((h, w, 3), np.float32)
+    # octaves of smoothed noise
+    for cells in (4, 8, 24):
+        coarse = rng.normal(size=(cells, cells, 3)).astype(np.float32)
+        img += np.asarray(jax.image.resize(jnp.asarray(coarse), (h, w, 3),
+                                           "bicubic")) * (1.5 / cells ** 0.5)
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    for _ in range(rng.integers(4, 9)):
+        cy, cx = rng.uniform(0, h), rng.uniform(0, w)
+        ry, rx = rng.uniform(h / 16, h / 3), rng.uniform(w / 16, w / 3)
+        th = rng.uniform(0, np.pi)
+        ca, sa = np.cos(th), np.sin(th)
+        u = ((xs - cx) * ca + (ys - cy) * sa) / rx
+        v = (-(xs - cx) * sa + (ys - cy) * ca) / ry
+        inside = (u * u + v * v < 1.0) if rng.random() < 0.5 else (
+            (np.abs(u) < 1.0) & (np.abs(v) < 1.0))
+        img[inside] = rng.uniform(-1.5, 1.5, 3).astype(np.float32)
+    lo, hi = img.min(), img.max()
+    return ((img - lo) / max(hi - lo, 1e-6)).astype(np.float32)
+
+
+def _field_from_seeds(h, w, affine, coarse, bnd_coarse, affine_b, disc_flag,
+                      max_shift):
+    """Build one (h, w, 2) flow field in-graph from tiny host-sampled seeds:
+    affine (tx, ty, rot, scale), a 4x4x2 low-frequency residual, and — when
+    disc_flag — a second affine on the far side of a random smooth boundary
+    (a motion discontinuity)."""
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) - (h - 1) / 2
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) - (w - 1) / 2
+
+    def affine_field(a):
+        tx, ty, rot, sc = a[0], a[1], a[2], a[3]
+        fx = tx + sc * xs - rot * ys
+        fy = ty + sc * ys + rot * xs
+        return jnp.stack([fx, fy], -1)
+
+    fine = jax.image.resize(coarse, (h, w, 2), "bicubic")
+    fa = affine_field(affine) + fine
+    fb = affine_field(affine_b) + fine
+    bnd = jax.image.resize(bnd_coarse, (h, w), "bicubic")
+    mask = (bnd > jnp.median(bnd)).astype(jnp.float32)[..., None]
+    disc = fa * mask + fb * (1.0 - mask)
+    return jnp.where(disc_flag > 0.5, disc, fa)
+
+
+def train_flow_synthetic(
+    iterations: int = 12000,
+    batch_size: int = 8,
+    size: int = 192,
+    learning_rate: float = 2e-4,
+    seed: int = 0,
+    params=None,
+    pool: int = 128,
+    max_shift: float = 12.0,
+    p_discontinuous: float = 0.3,
+    log_fn=print,
+    log_every: int = 200,
+    lr_decay_at: float = 0.7,
+):
+    """Fully self-contained flow training: a device-resident pool of
+    procedural images; per-iteration host traffic is only a few hundred
+    bytes of field seeds (everything else — field synthesis, warping, the
+    multiscale loss — runs in one jit). Returns trained params."""
+    rng = np.random.default_rng(seed)
+    if params is None:
+        params = estimator.init_params(jax.random.PRNGKey(seed))
+    tx_opt = optax.adam(learning_rate)
+    opt_state = tx_opt.init(params)
+    images = jnp.asarray(np.stack([
+        random_texture_image(rng, size, size) for _ in range(pool)
+    ]))
+
+    @jax.jit
+    def step(params, opt_state, img2, affine, coarse, bnd, affine_b, flags, lr_scale):
+        fields = jax.vmap(
+            lambda a, c, b, a2, f: _field_from_seeds(
+                size, size, a, c, b, a2, f, max_shift)
+        )(affine, coarse, bnd, affine_b, flags)
+        img1 = warp_ops.bilinear_warp(img2, fields)
+
+        def loss_fn(p):
+            return multiscale_loss(p, img1, img2, fields)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx_opt.update(grads, opt_state, params)
+        updates = jax.tree_util.tree_map(lambda u: u * lr_scale, updates)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    n = batch_size
+    for it in range(1, iterations + 1):
+        idx = rng.choice(pool, size=n, replace=False)
+        affine = np.stack([
+            np.array([*rng.uniform(-max_shift, max_shift, 2),
+                      rng.uniform(-0.05, 0.05), rng.uniform(-0.08, 0.08)],
+                     np.float32)
+            for _ in range(n)])
+        affine_b = np.stack([
+            np.array([*rng.uniform(-max_shift, max_shift, 2),
+                      rng.uniform(-0.05, 0.05), rng.uniform(-0.08, 0.08)],
+                     np.float32)
+            for _ in range(n)])
+        coarse = rng.normal(0, max_shift / 4, (n, 4, 4, 2)).astype(np.float32)
+        bnd = rng.normal(size=(n, 3, 3)).astype(np.float32)
+        flags = (rng.random(n) < p_discontinuous).astype(np.float32)
+        lr_scale = np.float32(0.1 if it > iterations * lr_decay_at else 1.0)
+        params, opt_state, loss = step(
+            params, opt_state, images[jnp.asarray(idx)], jnp.asarray(affine),
+            jnp.asarray(coarse), jnp.asarray(bnd), jnp.asarray(affine_b),
+            jnp.asarray(flags), lr_scale)
+        if it % log_every == 0:
+            log_fn(f"flow iter {it}/{iterations} loss {float(loss):.4f}")
+    return params

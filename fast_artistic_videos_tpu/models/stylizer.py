@@ -134,6 +134,40 @@ def _d2s(y, co: int):
     return y.reshape(n, 2 * h, 2 * w, co)
 
 
+def _d2s_level2(y, co: int):
+    """Two depth-to-space levels in ONE transpose: (N, h, w, 16*co) ->
+    (N, 4h, 4w, co), requiring channel blocks ordered (row_phase(4),
+    col_phase(4), co) — i.e. ch = rp*4*co + cp*co + c.
+
+    Two chained `_d2s` calls materialize an intermediate tensor whose channel
+    count is tiny (e.g. 12 then 3 for the canonical tail), and XLA's layout
+    assignment for those transposes is catastrophic (measured 15.1 ms at
+    270p->1080p vs 2.4 ms for this single coarse-block transpose: the (w,
+    col_phase, co) trailing group is already contiguous, so only row phases
+    move)."""
+    n, h, w, _ = y.shape
+    y = y.reshape(n, h, w, 4, 4 * co).transpose(0, 1, 3, 2, 4)
+    return y.reshape(n, 4 * h, 4 * w, co)
+
+
+def _tail_phase_perm(o: int) -> np.ndarray:
+    """Channel permutation taking the composite two-level phase order
+    produced by _phase_level_kernel-over-_folded_upsample_conv blocks —
+    ch = (muh*2+muw)*4o + (a*2+b)*o + c, where (muh, muw) are the 270p->540p
+    parities and (a, b) the 540p->full parities — to the (row_phase(4),
+    col_phase(4), c) order _d2s_level2 wants, with row_phase = 2*muh + a."""
+    perm = np.empty(16 * o, np.int64)
+    for muh in range(2):
+        for muw in range(2):
+            for a in range(2):
+                for b in range(2):
+                    old = (muh * 2 + muw) * 4 * o + (a * 2 + b) * o
+                    rp, cp = 2 * muh + a, 2 * muw + b
+                    new = (rp * 4 + cp) * o
+                    perm[new : new + o] = np.arange(old, old + o)
+    return perm
+
+
 def _kbuf(shape, like):
     """Accumulation buffer for build-time kernel transforms. When `like` is a
     CONCRETE array (inference: params closed over in the jit), build in host
@@ -265,13 +299,20 @@ def _folded_upsample_conv(x, w, b, ksize: int, pad: int):
     if 4 * o <= 16 and ks >= 4 and h % 2 == 0 and ww % 2 == 0:
         # output channels still starve the MXU (e.g. the canonical 9x9 64->3
         # tail folds to a 5x5 64->12): take one more s2d level — a ~3x3 conv
-        # with 4x channels on both sides at quarter resolution
+        # with 4x channels on both sides at quarter resolution. The kernel's
+        # output channels are permuted at build time to (row_phase, col_phase,
+        # c) so both d2s levels collapse into one coarse transpose.
         k2, pads2 = _phase_level_kernel(k, pads)
+        perm = _tail_phase_perm(o)
+        if isinstance(k2, jax.core.Tracer):
+            k2 = k2[..., jnp.asarray(perm)]
+        else:
+            k2 = jnp.asarray(np.asarray(k2)[..., perm])
         y = jax.lax.conv_general_dilated(
             _s2d(x), k2.astype(x.dtype), (1, 1), pads2,
             dimension_numbers=_DN, preferred_element_type=x.dtype,
         ) + jnp.tile(b.astype(x.dtype), 16)
-        y = _d2s(y, 4 * o)
+        return _d2s_level2(y, o)
     else:
         y = jax.lax.conv_general_dilated(
             x, k.astype(x.dtype), (1, 1), pads,

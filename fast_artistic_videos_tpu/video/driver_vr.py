@@ -77,8 +77,11 @@ class _Geometry:
         self.mask_all_div = np.maximum(msum, 1.0)
         self.mask_all = np.minimum(msum, 1.0)
 
-        gw = ow - 10
-        gh = oh - 10
+        # the reference insets the blend gradient 10px inside the overlap
+        # (fast_artistic_video_vr.lua gradient masks); clamp so overlaps
+        # smaller than that (tiny test faces) degrade gracefully
+        gw = max(1, ow - 10)
+        gh = max(1, oh - 10)
         gm_left = np.concatenate(
             [np.asarray(filters.gradient_mask_w_dec(hplus, gw)),
              np.zeros((hplus, wplus - gw), np.float32)], axis=1)

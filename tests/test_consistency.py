@@ -1,6 +1,7 @@
 import os
 import subprocess
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -113,6 +114,67 @@ def test_cpp_tool_with_structure(checker_binary, tmp_path, rng):
     )
     # FIR vs recursive Gaussian: only threshold-crossing pixels may differ
     assert (np.abs(cpp - jx) > 1e-6).mean() < 0.03
+
+
+def test_streaming_mask_native_res_matches_exact():
+    """At out_hw == flow resolution the streaming path is the plain mask."""
+    f1 = np.zeros((16, 16, 2), np.float32)
+    f1[..., 0] = 3.0
+    f2 = -f1
+    a = np.asarray(consistency.consistency_mask(jnp.asarray(f1), jnp.asarray(f2)))
+    b = np.asarray(consistency.consistency_mask_streaming(
+        jnp.asarray(f1), jnp.asarray(f2)))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_streaming_mask_upsamples_nearest():
+    f1 = np.zeros((8, 12, 2), np.float32)
+    f2 = np.zeros_like(f1)
+    f1[2:5, 3:7, 0] = 5.0  # inconsistent block (roundtrip 25 >= thresholds)
+    m = np.asarray(consistency.consistency_mask_streaming(
+        jnp.asarray(f1), jnp.asarray(f2), out_hw=(16, 24)))
+    assert m.shape == (16, 24)
+    low = np.asarray(consistency.consistency_mask(jnp.asarray(f1), jnp.asarray(f2)))
+    np.testing.assert_array_equal(m, np.repeat(np.repeat(low, 2, 0), 2, 1))
+
+
+def test_streaming_mask_structure_resizes_image(rng):
+    f1 = np.zeros((16, 16, 2), np.float32)
+    f1[..., 0] = 1.0
+    f2 = -f1 + 0.9  # borderline: forgiven only where structure is flat
+    img_full = np.zeros((32, 32, 3), np.float32)
+    img_full[:, 16:] = rng.random((32, 16, 3)).astype(np.float32)
+    m = np.asarray(consistency.consistency_mask_streaming(
+        jnp.asarray(f1), jnp.asarray(f2), jnp.asarray(img_full),
+        out_hw=(32, 32)))
+    assert m.shape == (32, 32)
+    assert m[8:24, 0:8].min() > 0.999  # flat left region forgiven
+    assert m[8:24, 24:].max() < 1.0  # textured right fails somewhere
+
+
+def test_provider_flow_res_consistency_matches_fullres_shapes(rng):
+    """Streaming provider with consistency_at_flow_res: same output shapes
+    and a mask that agrees with the full-res check on easy (consistent)
+    motion away from borders."""
+    from fast_artistic_videos_tpu.flow import estimator as fest
+    from fast_artistic_videos_tpu.flow.provider import StreamingFlowProvider
+
+    params = fest.init_params(jax.random.PRNGKey(0))
+    est = fest.FlowEstimator(params)
+    frames = [rng.random((64, 96, 3)).astype(np.float32) for _ in range(3)]
+    outs = {}
+    for lowres in (False, True):
+        prov = StreamingFlowProvider(
+            flow_estimator=est, use_structure=False, flow_scale=0.5,
+            consistency_at_flow_res=lowres)
+        for f in frames:
+            fc = prov(f)
+        outs[lowres] = fc
+    (bwd_a, cert_a), (bwd_b, cert_b) = outs[False], outs[True]
+    assert bwd_a.shape == bwd_b.shape == (64, 96, 2)
+    assert cert_a.shape == cert_b.shape == (64, 96)
+    np.testing.assert_allclose(np.asarray(bwd_a), np.asarray(bwd_b),
+                               rtol=1e-5, atol=1e-5)
 
 
 REF_CHECKER_DIR = "/root/reference/consistencyChecker"

@@ -295,3 +295,54 @@ def test_vr_driver_with_evaluator(vr_clip, tmp_path):
     # 7 metrics: series + means
     assert len(lines) == 14
     assert lines[0].count(";") == 11
+
+
+def test_stylize_vr_video_file_one_command(tmp_path):
+    """One-command VR pipeline (stylizeVRVideo_*.sh parity minus ffmpeg):
+    synthetic equirect clip in -> face split -> streaming per-face flow +
+    stylize -> stylized equirect frames out, single invocation."""
+    import os
+
+    import jax
+
+    from fast_artistic_videos_tpu.cli import stylize_vr_video_file
+    from fast_artistic_videos_tpu.flow import estimator as fest
+    from fast_artistic_videos_tpu.models import arch_dsl, checkpoint, stylizer
+
+    rng = np.random.default_rng(3)
+    equi_dir = tmp_path / "equi"
+    equi_dir.mkdir()
+    base = rng.random((48, 96, 3)).astype(np.float32)
+    for f in (1, 2):
+        io.save_image(str(equi_dir / f"equi_{f:05d}.ppm"),
+                      np.roll(base, (f - 1) * 2, axis=1))
+
+    arch = "c3s1-8,d16,R16,U2,c3s1-3"
+    spec = arch_dsl.parse_arch(arch, in_channels=7)
+    model = str(tmp_path / "vid.npz")
+    checkpoint.save_model(
+        model, stylizer.init_params(jax.random.PRNGKey(0), spec),
+        {"arch": arch, "in_channels": 7, "padding_type": "reflect-start",
+         "use_instance_norm": True, "tanh_constant": 150.0})
+    flow_model = str(tmp_path / "flow.npz")
+    fest.save_params(flow_model, fest.init_params(jax.random.PRNGKey(1)))
+
+    out_dir = str(tmp_path / "work")
+    rc = stylize_vr_video_file.main([
+        "--frames_dir", str(equi_dir),
+        "--model_vid", model,
+        "--flow_model", flow_model,
+        "--face_size", "16",
+        "--overlap_pixel_w", "12",
+        "--overlap_pixel_h", "12",
+        "--out_dir", out_dir,
+    ])
+    assert rc == 0
+    for f in (1, 2):
+        path = os.path.join(out_dir, f"out-{f:05d}_equi.png")
+        assert os.path.exists(path), path
+        img = io.load_image(path)
+        assert img.shape == (48, 96, 3)
+        assert img.std() > 0.01
+    # per-face intermediates are cleaned up by default
+    assert not os.path.exists(os.path.join(out_dir, "out1_0.png"))
