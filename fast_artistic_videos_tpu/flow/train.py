@@ -216,12 +216,41 @@ def train_flow_synthetic(
         random_texture_image(rng, size, size) for _ in range(pool)
     ]))
 
-    @jax.jit
-    def step(params, opt_state, img2, affine, coarse, bnd, affine_b, flags, lr_scale):
+    # every iteration's randomness is pregenerated and uploaded ONCE: through
+    # the axon tunnel each small per-iteration upload costs a full RTT, which
+    # made a 30 ms device step take ~870 ms wall
+    n, T = batch_size, iterations
+
+    def _affines(count):
+        out = np.empty((count, 4), np.float32)
+        out[:, 0:2] = rng.uniform(-max_shift, max_shift, (count, 2))
+        out[:, 2] = rng.uniform(-0.05, 0.05, count)
+        out[:, 3] = rng.uniform(-0.08, 0.08, count)
+        return out
+
+    seeds = dict(
+        idx=jnp.asarray(rng.integers(0, pool, size=(T, n))),
+        affine=jnp.asarray(_affines(T * n).reshape(T, n, 4)),
+        affine_b=jnp.asarray(_affines(T * n).reshape(T, n, 4)),
+        coarse=jnp.asarray(
+            rng.normal(0, max_shift / 4, (T, n, 4, 4, 2)).astype(np.float32)),
+        bnd=jnp.asarray(rng.normal(size=(T, n, 3, 3)).astype(np.float32)),
+        flags=jnp.asarray(
+            (rng.random((T, n)) < p_discontinuous).astype(np.float32)),
+    )
+
+    decay_from = int(iterations * lr_decay_at)
+
+    def step(it, carry):
+        params, opt_state, _ = carry
+        pick = lambda k: jax.lax.dynamic_index_in_dim(  # noqa: E731
+            seeds[k], it, keepdims=False)
+        img2 = jnp.take(images, pick("idx"), axis=0)
         fields = jax.vmap(
             lambda a, c, b, a2, f: _field_from_seeds(
                 size, size, a, c, b, a2, f, max_shift)
-        )(affine, coarse, bnd, affine_b, flags)
+        )(pick("affine"), pick("coarse"), pick("bnd"), pick("affine_b"),
+          pick("flags"))
         img1 = warp_ops.bilinear_warp(img2, fields)
 
         def loss_fn(p):
@@ -229,30 +258,25 @@ def train_flow_synthetic(
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx_opt.update(grads, opt_state, params)
+        lr_scale = jnp.where(it >= decay_from, 0.1, 1.0).astype(jnp.float32)
         updates = jax.tree_util.tree_map(lambda u: u * lr_scale, updates)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    n = batch_size
-    for it in range(1, iterations + 1):
-        idx = rng.choice(pool, size=n, replace=False)
-        affine = np.stack([
-            np.array([*rng.uniform(-max_shift, max_shift, 2),
-                      rng.uniform(-0.05, 0.05), rng.uniform(-0.08, 0.08)],
-                     np.float32)
-            for _ in range(n)])
-        affine_b = np.stack([
-            np.array([*rng.uniform(-max_shift, max_shift, 2),
-                      rng.uniform(-0.05, 0.05), rng.uniform(-0.08, 0.08)],
-                     np.float32)
-            for _ in range(n)])
-        coarse = rng.normal(0, max_shift / 4, (n, 4, 4, 2)).astype(np.float32)
-        bnd = rng.normal(size=(n, 3, 3)).astype(np.float32)
-        flags = (rng.random(n) < p_discontinuous).astype(np.float32)
-        lr_scale = np.float32(0.1 if it > iterations * lr_decay_at else 1.0)
-        params, opt_state, loss = step(
-            params, opt_state, images[jnp.asarray(idx)], jnp.asarray(affine),
-            jnp.asarray(coarse), jnp.asarray(bnd), jnp.asarray(affine_b),
-            jnp.asarray(flags), lr_scale)
-        if it % log_every == 0:
-            log_fn(f"flow iter {it}/{iterations} loss {float(loss):.4f}")
+    @jax.jit
+    def run_chunk(params, opt_state, start, count):
+        # one dispatch per `log_every` iterations: through the axon tunnel
+        # each dispatch costs an RTT, so per-step Python looping wastes
+        # ~15x wall clock; lax.fori_loop keeps the whole chunk on device
+        return jax.lax.fori_loop(
+            start, start + count, step,
+            (params, opt_state, jnp.float32(0.0)))
+
+    chunk = max(1, min(log_every, iterations))
+    it = 0
+    while it < iterations:
+        count = min(chunk, iterations - it)
+        params, opt_state, loss = run_chunk(
+            params, opt_state, jnp.int32(it), jnp.int32(count))
+        it += count
+        log_fn(f"flow iter {it}/{iterations} loss {float(loss):.4f}")
     return params

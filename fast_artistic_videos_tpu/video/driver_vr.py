@@ -155,15 +155,16 @@ class VRDriver:
         self.last_content = img
         return img
 
-    def load_cert(self, i: int) -> np.ndarray:
-        """Border certainty from already-stylized neighbors plus the
-        occlusion map for the temporal prior (:204-237)."""
-        opt = self.opt
+    def _border_cert(self, pos: int):
+        """Static per-position neighbor-border certainty, cached as a DEVICE
+        array (it is max'd with every frame's occlusion map; keeping it on
+        device avoids a ~3 MB host round trip per face at real face sizes)."""
+        key = ("border_cert", pos)
+        if key in self._border_jits:
+            return self._border_jits[key]
         g = self.geo
-        pos = (i - 1) % 6
-        file_idx = (i - 1) // 6 + opt.start_frame
         border = np.zeros((g.hplus, g.wplus), np.float32)
-        if not opt.create_inconsistent_border:
+        if not self.opt.create_inconsistent_border:
             if pos in (1, 3, 4, 5):
                 border = np.maximum(border, g.mask_left)
             if pos in (2, 3, 4, 5):
@@ -171,6 +172,17 @@ class VRDriver:
             if pos in (4, 5):
                 border = np.maximum(border, g.mask_top)
                 border = np.maximum(border, g.mask_bottom)
+        self._border_jits[key] = jnp.asarray(border)
+        return self._border_jits[key]
+
+    def load_cert(self, i: int):
+        """Border certainty from already-stylized neighbors plus the
+        occlusion map for the temporal prior (:204-237). Returns a device
+        array."""
+        opt = self.opt
+        pos = (i - 1) % 6
+        file_idx = (i - 1) // 6 + opt.start_frame
+        border = self._border_cert(pos)
         if i >= 7 and not opt.create_inconsistent:
             if self.flow_providers is not None:
                 streamed = self._streamed[pos]
@@ -184,7 +196,7 @@ class VRDriver:
                 cert_frame = io.load_image(name, num_channels=1)[..., 0]
                 if opt.invert_occlusion:
                     cert_frame = 1.0 - cert_frame
-            return np.maximum(cert_frame, border)
+            return jnp.maximum(jnp.asarray(cert_frame), border)
         return border
 
     def make_prior(self, i: int, cert_eroded: np.ndarray) -> np.ndarray:
@@ -197,7 +209,7 @@ class VRDriver:
         file_idx = (i - 1) // 6 + opt.start_frame
         seg = self.segments
         hp, wp = g.hplus, g.wplus
-        border = np.zeros((hp, wp, 3), np.float32)
+        border = jnp.zeros((hp, wp, 3), jnp.float32)
         div = g.mask_all_div[..., None]
 
         if not opt.create_inconsistent_border and pos > 0:
@@ -386,6 +398,9 @@ class VRDriver:
                 break
             t0 = time.monotonic()
             pos = (i - 1) % 6
+            # one upload per face: the flow provider and the engine step
+            # both consume the same device array
+            img = jnp.asarray(img)
             if self.flow_providers is not None and not self.opt.create_inconsistent:
                 self._streamed[pos] = self.flow_providers[pos](img)
             file_idx = (i - 1) // 6 + opt.start_frame
@@ -393,17 +408,17 @@ class VRDriver:
                 stylized = self.engine.stylize_first(img)
             else:
                 cert = self.load_cert(i)
-                cert_eroded = np.asarray(
-                    filters.min_filter(jnp.asarray(cert), opt.occlusions_min_filter)
-                )
+                # cert/prior/mask all stay device-resident through the step
+                cert_eroded = filters.min_filter(
+                    jnp.asarray(cert), opt.occlusions_min_filter)
                 prior = self.make_prior(i, cert_eroded)
                 input_mask = cert_eroded
                 if opt.smooth_certainty:
                     fm = self.smooth_cert_mask(pos)
                     if fm is not None:
-                        input_mask = np.minimum(cert_eroded, fm)
+                        input_mask = jnp.minimum(cert_eroded, jnp.asarray(fm))
                 stylized = self.engine.stylize_with_prior(
-                    img, prior.astype(np.float32), input_mask, erode_cert=False
+                    img, prior.astype(jnp.float32), input_mask, erode_cert=False
                 )
             self.segments[pos] = stylized
             if progress:

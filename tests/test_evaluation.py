@@ -135,6 +135,43 @@ def test_registry_catalog():
         registry.find_converted("candy", models_dir="/nonexistent")
 
 
+def test_style_fixtures_bundled():
+    """Every catalog style has a bundled procedural style-image fixture that
+    loads and can serve as a style target (gram stats are non-degenerate)."""
+    from fast_artistic_videos_tpu.core import io
+    from fast_artistic_videos_tpu.models import registry
+
+    for name in registry.CATALOG:
+        path = registry.style_fixture(name)
+        img = io.load_image(path)
+        assert img.shape == (384, 384, 3)
+        assert img.min() >= 0.0 and img.max() <= 1.0
+        # per-channel spread: a style image must have structure, not a
+        # constant fill
+        assert img.std(axis=(0, 1)).min() > 0.02, name
+    with pytest.raises(KeyError):
+        registry.style_fixture("nope")
+
+
+def test_style_fixture_as_style_target(rng):
+    """A bundled fixture drives the perceptual style-target capture."""
+    import jax
+
+    from fast_artistic_videos_tpu.core import io
+    from fast_artistic_videos_tpu.models import registry, vgg
+    from fast_artistic_videos_tpu.ops.preprocess import vgg_preprocess
+    from fast_artistic_videos_tpu.train import losses
+
+    img = io.load_image(registry.style_fixture("mosaic"))[::8, ::8]  # 48x48
+    vgg_params = vgg.init_params(jax.random.PRNGKey(0))
+    cfg = losses.PerceptualConfig(
+        style_layers=(4,), style_weights=(10.0,),
+        content_layers=(4,), content_weights=(1.0,))
+    tgts = losses.style_targets(vgg_params, vgg_preprocess(img)[None], cfg)
+    leaves = jax.tree_util.tree_leaves(tgts)
+    assert leaves and all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+
+
 def test_stage_timer():
     from fast_artistic_videos_tpu.utils import profiling
 
