@@ -29,7 +29,7 @@ def main(argv=None):
     p.add_argument("--input_pattern", required=True,
                    help="frame filename pattern, e.g. frames/frame_%%05d.ppm")
     p.add_argument("--out_dir", required=True)
-    p.add_argument("--flow_model", default="", help="estimator weights (.npz)")
+    p.add_argument("--flow_model", default="", help="estimator weights (.npz) or 'bundled'")
     p.add_argument("--flow_cmd", default="",
                    help="external flow estimator command with {a} {b} {out} "
                         "placeholders (the run-deepflow.sh / "

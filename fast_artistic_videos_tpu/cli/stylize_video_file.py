@@ -40,7 +40,7 @@ def main(argv=None):
     p.add_argument("--frames_dir", default="", help="pre-extracted frame_%%05d.ppm dir")
     p.add_argument("--model_vid", required=True)
     p.add_argument("--model_img", default="self")
-    p.add_argument("--flow_model", default="", help="on-TPU flow weights (.npz)")
+    p.add_argument("--flow_model", default="", help="flow weights (.npz) or 'bundled'")
     p.add_argument("--flow_background", action="store_true",
                    help="produce flow files in a concurrent process (reference-style)"
                         " instead of streaming in-process")

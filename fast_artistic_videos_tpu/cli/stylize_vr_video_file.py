@@ -66,7 +66,7 @@ def main(argv=None):
                    help="pre-extracted equirect equi_%%05d.ppm dir (no ffmpeg)")
     p.add_argument("--model_vid", required=True)
     p.add_argument("--model_img", default="self")
-    p.add_argument("--flow_model", default="", help="on-TPU flow weights (.npz)")
+    p.add_argument("--flow_model", default="", help="flow weights (.npz) or 'bundled'")
     p.add_argument("--flow_scale", type=float, default=1.0)
     p.add_argument("--face_size", type=int, default=768,
                    help="face size WITHOUT overlap (stylizeVRVideo_flownet.sh:82)")

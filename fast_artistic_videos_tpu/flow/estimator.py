@@ -21,6 +21,7 @@ Training is supervised on synthetic warps with exact ground truth
 
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Tuple
 
 import jax
@@ -329,6 +330,14 @@ def save_params(path: str, params: Params) -> None:
 
 
 def load_params(path: str) -> Params:
+    """Load estimator weights from .npz; the literal string ``bundled``
+    resolves to the in-tree trained checkpoint (assets/flow_pwclite.npz),
+    so every CLI accepts ``--flow_model bundled`` without an external
+    download — unlike the reference, which requires DeepFlow/FlowNet2
+    binaries and weights (run-flownet-multiple.sh:11)."""
+    if path == "bundled":
+        path = os.path.join(os.path.dirname(__file__), "..", "assets",
+                            "flow_pwclite.npz")
     params: Params = {}
     with np.load(path) as z:
         for key in z.files:

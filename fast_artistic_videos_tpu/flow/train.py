@@ -280,3 +280,66 @@ def train_flow_synthetic(
         it += count
         log_fn(f"flow iter {it}/{iterations} loss {float(loss):.4f}")
     return params
+
+
+# ---------------------------------------------------------------------------
+# held-out evaluation protocols (accuracy gate for trained weights)
+# ---------------------------------------------------------------------------
+
+EVAL_PROTOCOLS = ("smooth", "large", "discont")
+
+
+def _protocol_field(name: str, rng: np.random.Generator, h: int, w: int):
+    if name == "smooth":          # in-distribution magnitudes
+        return random_flow_field(rng, h, w, max_shift=12)
+    if name == "large":           # larger displacements than training
+        return random_flow_field(rng, h, w, max_shift=20)
+    if name == "discont":         # occluding piecewise motion
+        return random_flow_field_discontinuous(rng, h, w, max_shift=12)
+    raise ValueError(f"unknown protocol {name!r}")
+
+
+def evaluate_heldout(params, size: int = 192, n_cases: int = 8,
+                     seed: int = 555, protocols=EVAL_PROTOCOLS):
+    """Held-out accuracy protocols for a trained estimator.
+
+    The images and fields are procedurally generated from `seed`, disjoint
+    from any training pool; 'large' and 'discont' are deliberately OUT of
+    the training distribution. Returns, per protocol,
+    ``(epe_mean, epe_max, passrate_mean, passrate_min)`` where the pass
+    rate is the fraction of pixels whose ESTIMATED fwd/bwd pair satisfies
+    the reference consistency inequality (consistencyChecker.cpp:80-134
+    semantics), measured over pixels where the GROUND-TRUTH pair does
+    (i.e. the non-occluded set).
+
+    This is the stand-in for the reference's reliance on known-good
+    external flow (run-flownet-multiple.sh:11; README.md:113 calls flow
+    quality "crucial"): nothing downloads here, so quality is gated on
+    synthetic held-out protocols instead of Sintel.
+    """
+    from . import consistency
+
+    results = {}
+    for name in protocols:
+        rng = np.random.default_rng(seed + hash(name) % 1000)
+        epes, passrates = [], []
+        for _ in range(n_cases):
+            img2 = random_texture_image(rng, size, size)[None]
+            gt = _protocol_field(name, rng, size, size)[None]
+            img1 = np.asarray(warp_ops.bilinear_warp(
+                jnp.asarray(img2), jnp.asarray(gt)))
+            fwd = estimator.apply(params, jnp.asarray(img1), jnp.asarray(img2))[0]
+            bwd = estimator.apply(params, jnp.asarray(img2), jnp.asarray(img1))[0]
+            epes.append(epe(fwd, gt[0]))
+            est_mask = np.asarray(consistency.consistency_mask(
+                jnp.asarray(np.asarray(fwd)), jnp.asarray(np.asarray(bwd))))
+            gt_bwd = np.asarray(warp_ops.bilinear_warp(
+                jnp.asarray(-gt), jnp.asarray(gt)))[0]
+            gt_mask = np.asarray(consistency.consistency_mask(
+                jnp.asarray(gt[0]), jnp.asarray(gt_bwd)))
+            valid = gt_mask > 0
+            passrates.append(float((est_mask[valid] > 0).mean()) if valid.any()
+                             else 0.0)
+        results[name] = (float(np.mean(epes)), float(np.max(epes)),
+                         float(np.mean(passrates)), float(np.min(passrates)))
+    return results

@@ -46,3 +46,36 @@ def shard_batch(mesh: Mesh, tree, axis_name: str = "data"):
 def replicate(mesh: Mesh, tree):
     sh = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+# -- 2D (data x space) mesh: joint batch + spatial sharding -----------------
+
+def make_mesh_2d(data: int, space: int) -> Mesh:
+    """A (data, space) mesh for joint batch + height sharding — 4K-frame
+    training where one frame alone saturates a chip's HBM: each batch shard
+    is further split over 'space' with XLA inserting the conv halo
+    exchanges, and gradients psum over BOTH axes (ICI)."""
+    devs = jax.devices()
+    if data * space > len(devs):
+        raise ValueError(f"requested {data}x{space} devices, have {len(devs)}")
+    return Mesh(np.array(devs[: data * space]).reshape(data, space),
+                ("data", "space"))
+
+
+def batch_space_sharding(mesh: Mesh, ndim: int, h_axis: int = 1) -> NamedSharding:
+    """Batch axis over 'data', height axis over 'space', rest replicated."""
+    spec = [None] * ndim
+    spec[0] = "data"
+    spec[h_axis] = "space"
+    return NamedSharding(mesh, P(*spec))
+
+
+def shard_batch_space(mesh: Mesh, tree, h_axis: int = 1):
+    """Device-put arrays with (batch, height) jointly sharded; arrays with
+    fewer than h_axis+1 dims get batch-only sharding."""
+    def put(x):
+        if x.ndim > h_axis:
+            return jax.device_put(x, batch_space_sharding(mesh, x.ndim, h_axis))
+        return jax.device_put(x, NamedSharding(mesh, P("data")))
+
+    return jax.tree_util.tree_map(put, tree)

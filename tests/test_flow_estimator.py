@@ -182,6 +182,40 @@ def test_flow_on_pinned_device(rng):
     assert jax.tree_util.tree_leaves(est.params)[0].devices() == {dev}
 
 
+BUNDLED_FLOW = os.path.join(
+    os.path.dirname(estimator.__file__), "..", "assets", "flow_pwclite.npz")
+
+
+def test_bundled_flow_weights_accuracy_gate():
+    """Absolute accuracy gate on the bundled trained estimator — the
+    stand-in for the reference's known-good external flow (README.md:113
+    calls flow quality "crucial"; run-flownet-multiple.sh:11).
+
+    Held-out protocols (seeds disjoint from training; 'large' and
+    'discont' are OUT of the training distribution — bigger shifts,
+    occluding piecewise motion). Gates: absolute mean-EPE bounds per
+    protocol, plus the estimated fwd/bwd pair must pass the reference
+    consistency inequality on a floor fraction of non-occluded pixels.
+    Calibrated 2026-08 at 128 px: smooth 1.16 / large 2.01 / discont 3.00
+    mean EPE; pass rates 0.64 / 0.51 / 0.32."""
+    from fast_artistic_videos_tpu.flow import train as flow_train
+
+    params = estimator.load_params(BUNDLED_FLOW)
+    results = flow_train.evaluate_heldout(params, size=128, n_cases=4)
+    bounds = {  # (max mean EPE px, min mean consistency pass rate)
+        "smooth": (2.0, 0.45),
+        "large": (3.5, 0.30),
+        "discont": (5.0, 0.15),
+    }
+    for name, (epe_mean, epe_max, pass_mean, pass_min) in results.items():
+        max_epe, min_pass = bounds[name]
+        assert epe_mean < max_epe, (
+            f"{name}: mean EPE {epe_mean:.3f} >= {max_epe}")
+        assert pass_mean > min_pass, (
+            f"{name}: consistency pass rate {pass_mean:.3f} <= {min_pass}")
+        assert np.isfinite(epe_max)
+
+
 def test_streaming_provider_flow_scale(rng):
     params = estimator.init_params(jax.random.PRNGKey(0))
     provider = StreamingFlowProvider(params, use_structure=False, flow_scale=0.5)

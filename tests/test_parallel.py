@@ -87,6 +87,39 @@ def test_trainer_multidevice_smoke(tmp_path):
         jax.tree_util.tree_map(lambda a: float(jnp.sum(a)), tr.params)))
 
 
+def test_2d_mesh_batch_space_training_matches_single_device(rng):
+    """Joint (data x space) sharding: batch over 'data', frame height over
+    'space'. Loss and grads must match the unsharded computation — XLA
+    inserts both the conv halo exchanges and the two-axis gradient psum."""
+    from fast_artistic_videos_tpu.models import arch_dsl, stylizer
+    from fast_artistic_videos_tpu.train import losses
+
+    spec = arch_dsl.parse_arch("c3s1-4,d8,R8,U2,c3s1-3", in_channels=7)
+    params = stylizer.init_params(jax.random.PRNGKey(0), spec)
+    imgs = rng.normal(size=(4, 32, 16, 7)).astype(np.float32)
+    target = rng.normal(size=(4, 32, 16, 3)).astype(np.float32)
+
+    def loss_fn(p, x, t):
+        out = stylizer.apply(p, spec, x)
+        return losses.pixel_loss("L2", out, t)
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+    l1, g1 = grad_fn(params, jnp.asarray(imgs), jnp.asarray(target))
+
+    m = pmesh.make_mesh_2d(data=4, space=2)
+    xs = pmesh.shard_batch_space(m, jnp.asarray(imgs))
+    ts = pmesh.shard_batch_space(m, jnp.asarray(target))
+    ps = pmesh.replicate(m, params)
+    l2, g2 = grad_fn(ps, xs, ts)
+
+    assert len(xs.sharding.device_set) == 8
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    # two collective axes -> larger f32 reduction-order drift than pure DP
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-3)
+
+
 def test_flow_stylize_two_device_pipeline(rng):
     """Flow stage pinned to device 1, stylizer on device 0 — the in-process
     analog of the reference's concurrent background flow job
