@@ -131,6 +131,71 @@ def bilinear_warp(img, flow, band: int | None = None):
     raise ValueError(f"img must be HWC or NHWC, got shape {img.shape}")
 
 
+def make_static_warp(map_np, sentinel: float = 9999.0):
+    """Specialize ``bilinear_warp`` for a PRECOMPUTED offset map (a host
+    numpy array, known before tracing) that maps only a sub-rectangle of
+    the output — the shape of every VR border-reprojection map
+    (video/vr_geometry.py: sentinel offsets everywhere except an
+    overlap-wide strip, vr_helper.lua:3-92).
+
+    The factory computes, once on the host: the output bounding box of
+    mapped pixels, and the source bounding box their four bilinear taps
+    can touch. The returned jittable ``warp(img)`` gathers ONLY the
+    strip-from-strip region and zero-pads back to the full frame — on a
+    922-px face with a 128-px overlap that is ~7x fewer gathered elements
+    than warping the full frame, and TPU gathers are the VR driver's
+    dominant cost. Exact same results as ``bilinear_warp(img, map)``
+    (taps outside the source image still contribute zero).
+    """
+    import numpy as np
+
+    map_np = np.asarray(map_np, np.float32)
+    ho, wo = map_np.shape[:2]
+    mapped = np.all(np.abs(map_np) < sentinel / 2, axis=-1)
+    if not mapped.any():
+        zero_like = map_np  # degenerate: nothing mapped
+
+        def warp_none(img):
+            return jnp.zeros((ho, wo) + img.shape[2:], img.dtype)
+
+        return warp_none
+    rows = np.where(mapped.any(axis=1))[0]
+    cols = np.where(mapped.any(axis=0))[0]
+    y0, y1 = int(rows[0]), int(rows[-1]) + 1
+    x0, x1 = int(cols[0]), int(cols[-1]) + 1
+    sub = map_np[y0:y1, x0:x1]
+    sub_mapped = mapped[y0:y1, x0:x1]
+    # absolute source coordinates of the mapped pixels' top-left taps
+    gy = np.arange(y0, y1, dtype=np.float64)[:, None] + sub[..., 1]
+    gx = np.arange(x0, x1, dtype=np.float64)[None, :] + sub[..., 0]
+    gy = gy[sub_mapped]
+    gx = gx[sub_mapped]
+    sy0 = int(np.floor(gy.min()))
+    sy1 = int(np.floor(gy.max())) + 2  # +1 tap, exclusive end
+    sx0 = int(np.floor(gx.min()))
+    sx1 = int(np.floor(gx.max())) + 2
+    # shifted map: offsets relative to the cropped source / cropped output
+    adj = sub.copy()
+    adj[..., 0] += (x0 - sx0)
+    adj[..., 1] += (y0 - sy0)
+    adj_j = jnp.asarray(adj)
+
+    def warp(img):
+        h, w = img.shape[0], img.shape[1]
+        # clip the source crop to the image (sentinel taps stay far out of
+        # bounds after the shift and keep sampling zero)
+        ya, yb = max(sy0, 0), min(sy1, h)
+        xa, xb = max(sx0, 0), min(sx1, w)
+        src = jax.lax.slice(img, (ya, xa, 0), (yb, xb, img.shape[2]))
+        m = adj_j
+        if (ya, xa) != (sy0, sx0):
+            m = m + jnp.asarray([sx0 - xa, sy0 - ya], m.dtype)
+        strip = _warp_single(src, m)
+        return jnp.pad(strip, ((y0, ho - y1), (x0, wo - x1), (0, 0)))
+
+    return warp
+
+
 def flow_band(max_abs_flow: float, minimum: int = 8) -> int:
     """Static band bucket (power of two) covering `max_abs_flow`, so a video
     triggers at most a few recompilations as its flow range grows."""

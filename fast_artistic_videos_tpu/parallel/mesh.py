@@ -48,6 +48,28 @@ def replicate(mesh: Mesh, tree):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
 
+def put_global_batch(mesh: Mesh, tree, axis_name: str = "data"):
+    """Assemble batch-sharded GLOBAL arrays from per-process local rows.
+
+    Single-process: identical to shard_batch (plain device_put). Multi-host
+    SPMD: every process passes only ITS rows (a train.data source built
+    with num_shards=process_count serves exactly those) and
+    jax.make_array_from_process_local_data stitches the global array across
+    hosts — the multi-host analog of the reference's single-GPU batch load
+    (train_video.lua:245-260), with input IO spread over DCN-attached
+    hosts instead of one disk."""
+    sh = batch_sharding(mesh, axis_name)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+    def put(x):
+        x = np.asarray(x)
+        global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+        return jax.make_array_from_process_local_data(sh, x, global_shape)
+
+    return jax.tree_util.tree_map(put, tree)
+
+
 # -- 2D (data x space) mesh: joint batch + spatial sharding -----------------
 
 def make_mesh_2d(data: int, space: int) -> Mesh:

@@ -114,34 +114,51 @@ def single_image_batch(images: np.ndarray, num_steps: int, rng=None) -> Batch:
     )
 
 
+def shard_range(n: int, num_shards: int, shard_index: int) -> Tuple[int, int]:
+    """Contiguous per-host row range [lo, hi) of an n-row dataset.
+
+    Multi-host training reads input over DCN from per-host dataset slices
+    (SURVEY.md §2.5 collective row): each process constructs its source
+    with (num_shards=jax.process_count(), shard_index=jax.process_index())
+    and a PER-HOST batch size; the trainer assembles the global batch with
+    parallel.mesh.put_global_batch."""
+    if not 0 <= shard_index < num_shards:
+        raise ValueError(f"shard_index {shard_index} not in [0, {num_shards})")
+    return shard_index * n // num_shards, (shard_index + 1) * n // num_shards
+
+
 class H5ImageSource:
     """Single-image HDF5 (MS-COCO style): /{train2014,val2014}/images
     (N, 3, H, W) uint8 — feeds the synthetic sources
-    (DataLoader_video_fake.lua:36-39)."""
+    (DataLoader_video_fake.lua:36-39). With num_shards > 1 the source
+    serves only its process's contiguous row slice (multi-host input)."""
 
     def __init__(self, path: str, batch_size: int, out_hw: Optional[Tuple[int, int]] = None,
-                 max_train: int = 0):
+                 max_train: int = 0, num_shards: int = 1, shard_index: int = 0):
         import h5py
 
         self.f = h5py.File(path, "r")
         self.batch_size = batch_size
         self.out_hw = out_hw
         self.paths = {"train": "/train2014/images", "val": "/val2014/images"}
-        self.cursor = {"train": 0, "val": 0}
-        self.sizes = {k: self.f[v].shape[0] for k, v in self.paths.items()}
+        sizes = {k: self.f[v].shape[0] for k, v in self.paths.items()}
         if max_train:
-            self.sizes["train"] = min(self.sizes["train"], max_train)
+            sizes["train"] = min(sizes["train"], max_train)
+        self.ranges = {k: shard_range(n, num_shards, shard_index)
+                       for k, n in sizes.items()}
+        self.cursor = {k: lo for k, (lo, _) in self.ranges.items()}
 
     def reset(self, split: str) -> None:
-        self.cursor[split] = 0
+        self.cursor[split] = self.ranges[split][0]
 
     def next_images(self, split: str) -> np.ndarray:
+        lo, hi = self.ranges[split]
         start = self.cursor[split]
-        if start + self.batch_size > self.sizes[split]:
-            start = 0  # wrap early: constant batch shapes avoid recompiles
+        if start + self.batch_size > hi:
+            start = lo  # wrap early: constant batch shapes avoid recompiles
         end = start + self.batch_size
         raw = self.f[self.paths[split]][start:end]
-        self.cursor[split] = 0 if end >= self.sizes[split] else end
+        self.cursor[split] = lo if end >= hi else end
         imgs = raw.astype(np.float32).transpose(0, 2, 3, 1) / 255.0
         if self.out_hw and imgs.shape[1:3] != tuple(self.out_hw):
             imgs = _resize_bilinear(imgs, *self.out_hw)
@@ -149,36 +166,44 @@ class H5ImageSource:
 
 
 class H5VideoSource:
-    """Real video HDF5 source (DataLoader_video_real.lua)."""
+    """Real video HDF5 source (DataLoader_video_real.lua). With
+    num_shards > 1 the source serves only its process's contiguous row
+    slice (multi-host input pipeline; batch_size is PER HOST)."""
 
-    def __init__(self, path: str, batch_size: int, max_train: int = 0):
+    def __init__(self, path: str, batch_size: int, max_train: int = 0,
+                 num_shards: int = 1, shard_index: int = 0):
         import h5py
 
         self.f = h5py.File(path, "r")
         self.batch_size = batch_size
-        self.cursor = {"train": 0, "val": 0}
-        self.sizes = {k: self.f[f"/{k}/frames1"].shape[0] for k in ("train", "val")}
+        sizes = {k: self.f[f"/{k}/frames1"].shape[0] for k in ("train", "val")}
         if max_train:
-            self.sizes["train"] = min(self.sizes["train"], max_train)
+            sizes["train"] = min(sizes["train"], max_train)
+        self.ranges = {k: shard_range(n, num_shards, shard_index)
+                       for k, n in sizes.items()}
+        self.cursor = {k: lo for k, (lo, _) in self.ranges.items()}
 
     def reset(self, split: str) -> None:
-        self.cursor[split] = 0
+        self.cursor[split] = self.ranges[split][0]
 
     def set_cursor_from_iteration(self, split: str, iteration: int) -> None:
-        """Deterministic resume (DataLoader_video_real.lua:58-61)."""
-        n = self.sizes[split]
+        """Deterministic resume (DataLoader_video_real.lua:58-61), applied
+        within this process's shard range."""
+        lo, hi = self.ranges[split]
+        n = hi - lo
         usable = n - (n % self.batch_size) + self.batch_size
-        self.cursor[split] = ((iteration - 1) * self.batch_size) % usable
+        self.cursor[split] = lo + ((iteration - 1) * self.batch_size) % usable
 
     def get_batch(self, split: str, num_steps: int) -> Batch:
+        lo, hi = self.ranges[split]
         start = self.cursor[split]
-        if start + self.batch_size > self.sizes[split]:
-            start = 0  # wrap early: constant batch shapes avoid recompiles
+        if start + self.batch_size > hi:
+            start = lo  # wrap early: constant batch shapes avoid recompiles
         end = start + self.batch_size
         frames = self.f[f"/{split}/frames1"][start:end]   # (n, seq, 3, H, W) uint8
         flow = self.f[f"/{split}/flow"][start:end]        # (n, seq-1, 2, H, W) f32 (u, v)
         cert = self.f[f"/{split}/cert"][start:end]        # (n, seq-1, H, W) uint8
-        self.cursor[split] = 0 if end >= self.sizes[split] else end
+        self.cursor[split] = lo if end >= hi else end
 
         max_steps = frames.shape[1] - 1
         if num_steps > max_steps:

@@ -128,15 +128,26 @@ class Trainer:
         self.wheel = data_mix_wheel(self.mix)
         h, w = (int(v) for v in opt.train_img_size.split(":"))
         self.train_hw = (h, w)
+        # multi-host: batch_size is GLOBAL; each process loads its own rows
+        # (contiguous dataset shard) and put_global_batch assembles the
+        # sharded global arrays. Single-process: degenerates to the
+        # whole dataset and a plain device_put.
+        nproc = jax.process_count()
+        if opt.batch_size % nproc:
+            raise ValueError(
+                f"batch_size {opt.batch_size} not divisible by "
+                f"process_count {nproc}")
+        local_bs = opt.batch_size // nproc
+        shard_kw = dict(num_shards=nproc, shard_index=jax.process_index())
         self.image_source = (
-            data_mod.H5ImageSource(opt.h5_file, opt.batch_size, out_hw=(h, w),
-                                   max_train=opt.max_train)
+            data_mod.H5ImageSource(opt.h5_file, local_bs, out_hw=(h, w),
+                                   max_train=opt.max_train, **shard_kw)
             if opt.h5_file
             else None
         )
         self.video_source = (
-            data_mod.H5VideoSource(opt.h5_file_video, opt.batch_size,
-                                   max_train=opt.max_train)
+            data_mod.H5VideoSource(opt.h5_file_video, local_bs,
+                                   max_train=opt.max_train, **shard_kw)
             if opt.h5_file_video
             else None
         )
@@ -321,9 +332,7 @@ class Trainer:
             imgs, flows, certs, num_steps = self._get_batch("train", source, num_steps)
             self.key, sub = jax.random.split(self.key)
             step = self._get_step(num_steps, self._first_mode(source))
-            batch = jax.tree_util.tree_map(
-                lambda x: jax.device_put(x, _shard_batch0(self.mesh, x)), (imgs, flows, certs)
-            )
+            batch = pmesh.put_global_batch(self.mesh, (imgs, flows, certs))
             self.params, self.opt_state, loss, aux, out2, warped = step(
                 self.params, self.opt_state, *batch, sub, jnp.asarray(lr, jnp.float32)
             )
@@ -488,13 +497,6 @@ def _eval_loss(trainer: Trainer, imgs, flows, certs, key, num_steps, first_mode)
         key,
     )
     return loss, aux
-
-
-def _shard_batch0(mesh, x):
-    """Each per-step array is (N, ...) — shard axis 0 over 'data'."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    return NamedSharding(mesh, P("data"))
 
 
 def _scale_shorter_side(img: np.ndarray, size: int) -> np.ndarray:

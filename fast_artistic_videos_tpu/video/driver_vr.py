@@ -67,12 +67,20 @@ class _Geometry:
         self.map_right = vr.perspective_warp_map_right(hplus, ow, wplus)
         self.map_top = vr.perspective_warp_map_top(wplus, oh, hplus)
         self.map_bottom = vr.perspective_warp_map_bottom(wplus, oh, hplus)
+        # strip-specialized warps: the maps are static and touch only an
+        # overlap-wide strip; gathering just the strip is ~7x cheaper than
+        # a full-frame gather at production face sizes (see
+        # ops.warp.make_static_warp)
+        self.warp_left = warp.make_static_warp(self.map_left)
+        self.warp_right = warp.make_static_warp(self.map_right)
+        self.warp_top = warp.make_static_warp(self.map_top)
+        self.warp_bottom = warp.make_static_warp(self.map_bottom)
 
         ones = np.ones((hplus, wplus, 1), np.float32)
-        self.mask_left = self._warp(ones, self.map_left)[..., 0]
-        self.mask_right = self._warp(ones, self.map_right)[..., 0]
-        self.mask_top = self._warp(ones, self.map_top)[..., 0]
-        self.mask_bottom = self._warp(ones, self.map_bottom)[..., 0]
+        self.mask_left = np.asarray(jax.jit(self.warp_left)(jnp.asarray(ones)))[..., 0]
+        self.mask_right = np.asarray(jax.jit(self.warp_right)(jnp.asarray(ones)))[..., 0]
+        self.mask_top = np.asarray(jax.jit(self.warp_top)(jnp.asarray(ones)))[..., 0]
+        self.mask_bottom = np.asarray(jax.jit(self.warp_bottom)(jnp.asarray(ones)))[..., 0]
         msum = self.mask_left + self.mask_right + self.mask_top + self.mask_bottom
         self.mask_all_div = np.maximum(msum, 1.0)
         self.mask_all = np.minimum(msum, 1.0)
@@ -218,17 +226,22 @@ class VRDriver:
             border = self._border_fn(pos)(*args)
 
         if i >= 7 and not opt.create_inconsistent:
+            band = None
             if self.flow_providers is not None:
                 streamed = self._streamed[pos]
                 if streamed is None:
                     return border
                 flow = streamed[0]
+                if not self.engine.config.exact_warp:
+                    band = self.flow_providers[pos].last_band
             else:
                 flow_name = format_flow_name(opt.flow_pattern, file_idx - 1, file_idx)
                 flow_name = flow_name % PROC_ORDER[pos] if "%" in flow_name else flow_name
                 pipeline.wait_for_file(flow_name)
                 flow = io.read_flo(flow_name)
-            return self._temporal_fn(pos)(
+                if not self.engine.config.exact_warp:
+                    band = warp.flow_band(float(np.abs(flow).max()))
+            return self._temporal_fn(pos, band)(
                 jnp.asarray(self.prev_segments[pos]), jnp.asarray(flow),
                 jnp.asarray(border), jnp.asarray(cert_eroded),
             )
@@ -241,31 +254,32 @@ class VRDriver:
         if pos in self._border_jits:
             return self._border_jits[pos]
         g = self.geo
-        ml, mr = jnp.asarray(g.map_left), jnp.asarray(g.map_right)
-        mt, mb = jnp.asarray(g.map_top), jnp.asarray(g.map_bottom)
+        wl, wr, wt, wb = g.warp_left, g.warp_right, g.warp_top, g.warp_bottom
         div = jnp.asarray(g.mask_all_div)[..., None]
-        w = warp.bilinear_warp
         r90, rm90, r180 = vr.rotate90, vr.rotate_minus90, vr.rotate180
 
         def build(s0, s1, s2, s3):
             if pos == 1:
-                return w(s0, ml)
+                return wl(s0)
             if pos == 2:
-                return w(s0, mr)
+                return wr(s0)
             if pos == 3:
-                return w(s1, ml) + w(s2, mr)
+                return wl(s1) + wr(s2)
             if pos == 4:
-                return (w(r90(s1), ml) / div + w(rm90(s2), mr) / div
-                        + w(s3, mt) / div + w(r180(s0), mb) / div)
-            return (w(rm90(s1), ml) / div + w(r90(s2), mr) / div
-                    + w(r180(s0), mt) / div + w(s3, mb) / div)
+                return (wl(r90(s1)) / div + wr(rm90(s2)) / div
+                        + wt(s3) / div + wb(r180(s0)) / div)
+            return (wl(rm90(s1)) / div + wr(r90(s2)) / div
+                    + wt(r180(s0)) / div + wb(s3) / div)
 
         self._border_jits[pos] = jax.jit(build)
         return self._border_jits[pos]
 
-    def _temporal_fn(self, pos: int):
-        """Jitted temporal blend (:275-295) per face position."""
-        key = ("temporal", pos)
+    def _temporal_fn(self, pos: int, band: Optional[int] = None):
+        """Jitted temporal blend (:275-295) per face position. `band` is a
+        static bound on |flow| selecting the banded TPU warp (the default
+        elsewhere; an exact full gather at 922-px faces costs ~20 ms vs
+        ~4 ms banded); None keeps the exact gather (opt.exact_warp)."""
+        key = ("temporal", pos, band)
         if key in self._border_jits:
             return self._border_jits[key]
         g = self.geo
@@ -278,7 +292,7 @@ class VRDriver:
                  g.mask_all, g.mask_all][pos])
 
         def blend(prev_seg, flow, border, cert_eroded):
-            prev_warped = warp.bilinear_warp(prev_seg, flow)
+            prev_warped = warp.bilinear_warp(prev_seg, flow, band=band)
             if pos == 0:
                 return prev_warped
             cert_inv = 1.0 - cert_eroded
@@ -306,9 +320,8 @@ class VRDriver:
             g = self.geo
             gm = jnp.asarray(g.grad_all)[..., None]
             div = jnp.asarray(g.mask_all_div)[..., None]
-            ml, mr = jnp.asarray(g.map_left), jnp.asarray(g.map_right)
-            mt, mb = jnp.asarray(g.map_top), jnp.asarray(g.map_bottom)
-            w = warp.bilinear_warp
+            wl, wr = g.warp_left, g.warp_right
+            wt, wb = g.warp_top, g.warp_bottom
             r90, rm90, r180 = vr.rotate90, vr.rotate_minus90, vr.rotate180
 
             def blend(s):
@@ -316,18 +329,18 @@ class VRDriver:
                     return (a + b + c + d) / div
 
                 borders = [
-                    combine(w(s[1], mr), w(s[2], ml),
-                            w(r180(s[4]), mb), w(r180(s[5]), mt)),
-                    combine(w(s[0], ml), w(s[3], mr),
-                            w(rm90(s[4]), mb), w(r90(s[5]), mt)),
-                    combine(w(s[0], mr), w(s[3], ml),
-                            w(r90(s[4]), mb), w(rm90(s[5]), mt)),
-                    combine(w(s[1], ml), w(s[2], mr),
-                            w(s[4], mb), w(s[5], mt)),
-                    combine(w(r180(s[0]), mb), w(r90(s[1]), ml),
-                            w(rm90(s[2]), mr), w(s[3], mt)),
-                    combine(w(r180(s[0]), mt), w(rm90(s[1]), ml),
-                            w(r90(s[2]), mr), w(s[3], mb)),
+                    combine(wr(s[1]), wl(s[2]),
+                            wb(r180(s[4])), wt(r180(s[5]))),
+                    combine(wl(s[0]), wr(s[3]),
+                            wb(rm90(s[4])), wt(r90(s[5]))),
+                    combine(wr(s[0]), wl(s[3]),
+                            wb(r90(s[4])), wt(rm90(s[5]))),
+                    combine(wl(s[1]), wr(s[2]),
+                            wb(s[4]), wt(s[5])),
+                    combine(wb(r180(s[0])), wl(r90(s[1])),
+                            wr(rm90(s[2])), wt(s[3])),
+                    combine(wt(r180(s[0])), wl(rm90(s[1])),
+                            wr(r90(s[2])), wb(s[3])),
                 ]
                 return [s[p] * (1 - gm) + borders[p] * gm for p in range(6)]
 

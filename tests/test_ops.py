@@ -1,3 +1,4 @@
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -209,3 +210,30 @@ def test_flow_band_buckets():
     assert warp.flow_band(7.5) == 8
     assert warp.flow_band(8.5) == 16
     assert warp.flow_band(100.0) == 128
+
+
+def test_static_warp_matches_gather_on_vr_border_maps(rng):
+    """make_static_warp (strip-cropped gather for precomputed maps) must
+    reproduce bilinear_warp exactly on every VR border-reprojection map
+    (modulo f32 offset-shift association noise)."""
+    from fast_artistic_videos_tpu.video import vr_geometry as vr
+
+    img = jnp.asarray(rng.random((64, 64, 3)), jnp.float32)
+    for maker in (vr.perspective_warp_map_left, vr.perspective_warp_map_right,
+                  vr.perspective_warp_map_top, vr.perspective_warp_map_bottom):
+        m = maker(64, 12, 64)
+        ref = np.asarray(warp.bilinear_warp(img, jnp.asarray(m)))
+        fast = np.asarray(jax.jit(warp.make_static_warp(m))(img))
+        np.testing.assert_allclose(fast, ref, atol=2e-5)
+
+
+def test_static_warp_equirect_map_no_crop(rng):
+    """A map with no sentinel region (every output pixel mapped, e.g. the
+    cube->equirect map) must still work — the crop is the whole frame."""
+    from fast_artistic_videos_tpu.video import vr_geometry as vr
+
+    strip = jnp.asarray(rng.random((20, 120, 3)), jnp.float32)
+    m = vr.cube_to_equirectangular_map(20, 20, 4, 4, 48, 24)
+    ref = np.asarray(warp.bilinear_warp(strip, jnp.asarray(m)))
+    fast = np.asarray(jax.jit(warp.make_static_warp(m))(strip))
+    np.testing.assert_allclose(fast, ref, atol=2e-5)

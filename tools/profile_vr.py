@@ -77,7 +77,12 @@ def main():
     flow = jnp.asarray(rng.normal(scale=3.0, size=(face, face, 2)), jnp.float32)
     cert = jnp.asarray(rng.random((face, face)), jnp.float32)
 
-    out = {}
+    class _Out(dict):
+        def __setitem__(self, k, v):
+            print(f"{k:34s} {v:8.2f} ms", flush=True)
+            super().__setitem__(k, v)
+
+    out = _Out()
     sync = lambda x: float(jnp.sum(x))  # noqa: E731
 
     # stage: streaming flow (prep + refine_pair + consistency @ flow res)
@@ -105,8 +110,9 @@ def main():
         jnp.maximum(c, bc), opt.occlusions_min_filter))
     out["cert max+erode"] = timeit(lambda: ero(cert), lambda: sync(ero(cert)), n)
 
-    # stage: temporal blend
-    tfn = driver._temporal_fn(4)
+    # stage: temporal blend (banded warp, the driver's streaming default;
+    # band 16 covers the scale-3 synthetic flow + bilinear tap)
+    tfn = driver._temporal_fn(4, band=16)
     border = bfn(*faces[:4])
     ce = ero(cert)
     out["temporal blend"] = timeit(
@@ -148,8 +154,6 @@ def main():
         lambda: [med(s) for s in faces],
         lambda: sync(med(faces[0])), max(2, n // 2))
 
-    for k, v in out.items():
-        print(f"{k:34s} {v:8.2f} ms")
     per_frame = (6 * out["FULL face step"]
                  + out["blend_other_sides (per frame)"]
                  + out["median x6 (per frame)"])
