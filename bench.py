@@ -45,7 +45,9 @@ def main():
     spec = arch_dsl.parse_arch("canonical", in_channels=7)
     params = stylizer.init_params(jax.random.PRNGKey(0), spec)
     fparams = fest.init_params(jax.random.PRNGKey(1))
-    est = fest.FlowEstimator(fparams)
+    # bf16 features (flow accumulates f32): ~10% faster refine_pair with
+    # held-out EPE/pass-rates indistinguishable from f32 (README)
+    est = fest.FlowEstimator(fparams, dtype=jnp.bfloat16)
 
     def step(content, prev, flow, cert):
         c2 = filters.min_filter(cert, 7)

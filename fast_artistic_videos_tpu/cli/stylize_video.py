@@ -82,10 +82,13 @@ def main(argv=None):
         device = None
         if opt.flow_device >= 0 and opt.flow_device < len(jax.devices()):
             device = jax.devices()[opt.flow_device]
+        import jax.numpy as jnp
+
         flow_provider = StreamingFlowProvider(
             flow_estimator.load_params(opt.flow_model),
             device=device,
             flow_scale=opt.flow_scale,
+            dtype=jnp.bfloat16 if opt.dtype == "bfloat16" else None,
         )
     eval_fn = None
     if opt.evaluate:

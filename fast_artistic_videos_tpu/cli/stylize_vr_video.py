@@ -64,10 +64,14 @@ def main(argv=None):
         from ..flow import estimator as flow_estimator
         from ..flow.provider import StreamingFlowProvider
 
+        import jax.numpy as jnp
+
         # one shared FlowEstimator: the six per-face providers reuse the
         # same compiled programs (faces are all the same size)
         flow_params = flow_estimator.load_params(opt.flow_model)
-        shared_est = flow_estimator.FlowEstimator(flow_params)
+        shared_est = flow_estimator.FlowEstimator(
+            flow_params,
+            dtype=jnp.bfloat16 if opt.dtype == "bfloat16" else jnp.float32)
         flow_provider_factory = lambda: StreamingFlowProvider(  # noqa: E731
             flow_scale=opt.flow_scale, flow_estimator=shared_est
         )

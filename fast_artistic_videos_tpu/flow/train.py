@@ -300,7 +300,8 @@ def _protocol_field(name: str, rng: np.random.Generator, h: int, w: int):
 
 
 def evaluate_heldout(params, size: int = 192, n_cases: int = 8,
-                     seed: int = 555, protocols=EVAL_PROTOCOLS):
+                     seed: int = 555, protocols=EVAL_PROTOCOLS,
+                     dtype=None):
     """Held-out accuracy protocols for a trained estimator.
 
     The images and fields are procedurally generated from `seed`, disjoint
@@ -328,8 +329,10 @@ def evaluate_heldout(params, size: int = 192, n_cases: int = 8,
             gt = _protocol_field(name, rng, size, size)[None]
             img1 = np.asarray(warp_ops.bilinear_warp(
                 jnp.asarray(img2), jnp.asarray(gt)))
-            fwd = estimator.apply(params, jnp.asarray(img1), jnp.asarray(img2))[0]
-            bwd = estimator.apply(params, jnp.asarray(img2), jnp.asarray(img1))[0]
+            a = jnp.asarray(img1, dtype) if dtype else jnp.asarray(img1)
+            b = jnp.asarray(img2, dtype) if dtype else jnp.asarray(img2)
+            fwd = estimator.apply(params, a, b)[0].astype(jnp.float32)
+            bwd = estimator.apply(params, b, a)[0].astype(jnp.float32)
             epes.append(epe(fwd, gt[0]))
             est_mask = np.asarray(consistency.consistency_mask(
                 jnp.asarray(np.asarray(fwd)), jnp.asarray(np.asarray(bwd))))

@@ -37,7 +37,7 @@ def main():
     frame = jnp.asarray(rng.random((H, W, 3)), jnp.float32)
     frame2 = jnp.asarray(rng.random((H, W, 3)), jnp.float32)
     fparams = fest.init_params(jax.random.PRNGKey(1))
-    est = fest.FlowEstimator(fparams)
+    est = fest.FlowEstimator(fparams, dtype=jnp.bfloat16)
 
     out = {}
     for fs in (0.5, 0.25):

@@ -62,7 +62,7 @@ def main():
         params, stride_multiple=spec.total_stride,
         config=EngineConfig(dtype="bfloat16"))
     fparams = fest.init_params(jax.random.PRNGKey(1))
-    shared_est = fest.FlowEstimator(fparams)
+    shared_est = fest.FlowEstimator(fparams, dtype=jnp.bfloat16)
 
     driver = VRDriver(engine, opt, flow_provider_factory=lambda:
                       StreamingFlowProvider(flow_scale=flow_scale,
