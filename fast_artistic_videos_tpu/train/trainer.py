@@ -461,6 +461,23 @@ class Trainer:
             force=True,
         )
         ckptr.wait_until_finished()
+        # RNG streams + data cursors, so a restored run replays the EXACT
+        # iteration sequence an uninterrupted run would have produced
+        # (elastic resume drill: tests/test_train.py). The 128-bit PCG64
+        # state ints don't fit orbax leaves — side JSON with decimal
+        # strings.
+        st = self.data_rng.bit_generator.state
+        side = {
+            "key": np.asarray(self.key).tolist(),
+            "rng_state": str(st["state"]["state"]),
+            "rng_inc": str(st["state"]["inc"]),
+            "rng_has_uint32": int(st["has_uint32"]),
+            "rng_uinteger": int(st["uinteger"]),
+            "image_cursor": self.image_source.cursor if self.image_source else None,
+            "video_cursor": self.video_source.cursor if self.video_source else None,
+        }
+        with open(path + ".rng.json", "w") as f:
+            json.dump(side, f)
 
     def restore_train_state(self, path: str):
         import orbax.checkpoint as ocp
@@ -474,6 +491,20 @@ class Trainer:
         self.iteration = int(state["iteration"])
         if self.video_source:
             self.video_source.set_cursor_from_iteration("train", self.iteration + 1)
+        if os.path.exists(path + ".rng.json"):
+            with open(path + ".rng.json") as f:
+                side = json.load(f)
+            self.key = jnp.asarray(np.asarray(side["key"], np.uint32))
+            st = self.data_rng.bit_generator.state
+            st["state"]["state"] = int(side["rng_state"])
+            st["state"]["inc"] = int(side["rng_inc"])
+            st["has_uint32"] = side["rng_has_uint32"]
+            st["uinteger"] = side["rng_uinteger"]
+            self.data_rng.bit_generator.state = st
+            if self.image_source and side["image_cursor"] is not None:
+                self.image_source.cursor = side["image_cursor"]
+            if self.video_source and side["video_cursor"] is not None:
+                self.video_source.cursor = side["video_cursor"]
         return self
 
 

@@ -205,6 +205,33 @@ def test_trainer_resume(coco_h5, tmp_path):
     np.testing.assert_array_equal(np.asarray(p_before), np.asarray(p_after))
 
 
+def test_elastic_resume_matches_uninterrupted(coco_h5, tmp_path):
+    """Elastic drill: kill training at iteration 3, restore into a FRESH
+    process-equivalent trainer, continue to 6 — the final params must be
+    BIT-IDENTICAL to an uninterrupted 6-iteration run. Requires the
+    checkpoint to carry the PRNG key, the data-RNG stream, and the dataset
+    cursors, not just params/optimizer (the reference's continue_with
+    restart has no such guarantee — it drops optimizer state entirely,
+    README.md:270)."""
+    kw = dict(data_mix="shift:1,zoom_out:1", percep_loss_weight=0.0,
+              checkpoint_name=str(tmp_path / "c"), checkpoint_every=3)
+
+    tr_full = Trainer(_opts(coco_h5, num_iterations=6, **kw))
+    tr_full.train(log_fn=lambda *a: None)
+    ref = jax.tree_util.tree_leaves(tr_full.params)
+
+    tr_a = Trainer(_opts(coco_h5, num_iterations=3,
+                         **{**kw, "checkpoint_name": str(tmp_path / "d")}))
+    tr_a.train(log_fn=lambda *a: None)
+    tr_b = Trainer(_opts(coco_h5, num_iterations=6,
+                         **{**kw, "checkpoint_name": str(tmp_path / "d")}))
+    tr_b.restore_train_state(str(tmp_path / "d") + "_state")
+    assert tr_b.iteration == 3
+    tr_b.train(log_fn=lambda *a: None)
+    for a, b in zip(ref, jax.tree_util.tree_leaves(tr_b.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_gradient_only_through_last_step(coco_h5):
     """Reference semantics: earlier unrolled steps are forward-only
     (train_video.lua:371-373). With full_bptt the gradients must differ."""
