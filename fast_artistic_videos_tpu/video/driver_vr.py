@@ -347,42 +347,64 @@ class VRDriver:
             self._blend_jit = jax.jit(blend)
         return self._blend_jit(tuple(jnp.asarray(x) for x in self.segments))
 
+    def _outputs_fn(self):
+        """One jitted program for the whole frame-output stage: median
+        filters, uint8 face images, optional equirect warp and cubemap
+        assembly — everything device-side; only uint8 bytes download
+        (f32 face downloads were 4x the traffic through slow links)."""
+        key = "outputs"
+        if key in self._border_jits:
+            return self._border_jits[key]
+        opt, g = self.opt, self.geo
+        mf = opt.median_filter
+        r = mf // 2
+        equi_warp = warp.make_static_warp(g.equi_map) if (
+            opt.out_equi and g.equi_map is not None) else None
+
+        def u8(x):
+            return jnp.round(jnp.clip(x, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+        def outputs(segments):
+            sides = ([filters.median_filter(s, mf) for s in segments]
+                     if mf > 0 else list(segments))
+            faces_u8 = [u8(s) for s in segments]
+            equi_u8 = None
+            if equi_warp is not None:
+                strip = jnp.concatenate(
+                    [sides[0], sides[1], sides[2], sides[3],
+                     vr.rotate180(sides[4]), vr.rotate180(sides[5])], axis=1)
+                equi_u8 = u8(equi_warp(strip))
+            cubemap_u8 = None
+            if opt.out_cubemap:
+                ow = opt.overlap_pixel_w // 2 - r
+                oh = opt.overlap_pixel_h // 2 - r
+
+                def crop(x):
+                    return x[oh : x.shape[0] - oh, ow : x.shape[1] - ow]
+
+                cubemap_u8 = u8(jnp.concatenate(
+                    [crop(sides[3]), crop(sides[0]), crop(vr.rotate90(sides[4])),
+                     crop(vr.rotate_minus90(sides[5])), crop(sides[2]),
+                     crop(sides[1])], axis=1))
+            return faces_u8, equi_u8, cubemap_u8
+
+        self._border_jits[key] = jax.jit(outputs)
+        return self._border_jits[key]
+
     def _save_frame_outputs(self, file_idx: int) -> None:
         opt = self.opt
-        g = self.geo
         self.prev_segments = self.blend_other_sides()
-        mf = opt.median_filter
-        if mf > 0:
-            sides = [
-                np.asarray(filters.median_filter(jnp.asarray(x), mf))
-                for x in self.prev_segments
-            ]
-        else:
-            sides = list(self.prev_segments)
-        r = mf // 2
+        faces_u8, equi_u8, cubemap_u8 = self._outputs_fn()(
+            tuple(self.prev_segments))
         for pos in range(6):
             io.save_image(f"{opt.output_prefix}{file_idx}_{pos}.png",
-                          np.clip(self.prev_segments[pos], 0, 1))
-        if opt.out_equi and g.equi_map is not None:
-            strip = np.concatenate(
-                [sides[0], sides[1], sides[2], sides[3],
-                 vr.rotate180(sides[4]), vr.rotate180(sides[5])], axis=1)
-            equi = self._warp(strip, g.equi_map)
+                             np.asarray(faces_u8[pos]))
+        if equi_u8 is not None:
             io.save_image(f"{opt.output_prefix}-{file_idx:05d}_equi.png",
-                          np.clip(equi, 0, 1))
-        if opt.out_cubemap:
-            ow = opt.overlap_pixel_w // 2 - r
-            oh = opt.overlap_pixel_h // 2 - r
-
-            def crop(x):
-                return x[oh : x.shape[0] - oh, ow : x.shape[1] - ow]
-
-            cubemap = np.concatenate(
-                [crop(sides[3]), crop(sides[0]), crop(vr.rotate90(sides[4])),
-                 crop(vr.rotate_minus90(sides[5])), crop(sides[2]), crop(sides[1])],
-                axis=1)
+                             np.asarray(equi_u8))
+        if cubemap_u8 is not None:
             io.save_image(f"{opt.output_prefix}-{file_idx:05d}_cubemap.png",
-                          np.clip(cubemap, 0, 1))
+                             np.asarray(cubemap_u8))
 
     # -- main loop --------------------------------------------------------
 
