@@ -59,24 +59,22 @@ def main(argv=None):
         from ..video.evaluation import VREvaluator
 
         eval_fn = VREvaluator(opt).__call__
-    flow_provider_factory = None
+    batched_flow = None
     if opt.flow_model:
         from ..flow import estimator as flow_estimator
-        from ..flow.provider import StreamingFlowProvider
+        from ..flow.provider import BatchedStreamingFlowProvider
 
         import jax.numpy as jnp
 
-        # one shared FlowEstimator: the six per-face providers reuse the
-        # same compiled programs (faces are all the same size)
+        # all 6 face flows of a frame in ONE program (the faces are
+        # independent temporal streams; batching the pyramid/refine is
+        # ~1.6x cheaper than 6 sequential dispatches, BENCH_NOTES)
         flow_params = flow_estimator.load_params(opt.flow_model)
-        shared_est = flow_estimator.FlowEstimator(
-            flow_params,
-            dtype=jnp.bfloat16 if opt.dtype == "bfloat16" else jnp.float32)
-        flow_provider_factory = lambda: StreamingFlowProvider(  # noqa: E731
-            flow_scale=opt.flow_scale, flow_estimator=shared_est
-        )
+        batched_flow = BatchedStreamingFlowProvider(
+            flow_params, flow_scale=opt.flow_scale,
+            dtype=jnp.bfloat16 if opt.dtype == "bfloat16" else None)
     driver = VRDriver(engine, opt, eval_fn=eval_fn,
-                      flow_provider_factory=flow_provider_factory)
+                      batched_flow_provider=batched_flow)
     n = driver.run()
     print(f"processed {n} faces ({n // 6} full frames)")
     return 0

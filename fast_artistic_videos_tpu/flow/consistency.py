@@ -214,6 +214,32 @@ def consistency_mask_streaming(flow1, flow2, image=None, out_hw=None,
         flow1, flow2, dummy, out_hw, False, band, float(rho)) / 255.0
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("out_hw", "use_structure", "band", "rho"))
+def _consistency_streaming_batch_impl(flow1, flow2, image, out_hw,
+                                      use_structure: bool, band, rho: float):
+    def one(a, b, im):
+        return _consistency_streaming_impl(a, b, im, out_hw, use_structure,
+                                           band, rho)
+
+    return jax.vmap(one)(flow1, flow2, image)
+
+
+def consistency_mask_streaming_batch(flow1, flow2, images=None, out_hw=None,
+                                     rho: float = 3.0, band=None):
+    """Batched `consistency_mask_streaming`: flow1/flow2 (N, H, W, 2),
+    images (N, H, W, C) or None. One program checks all N pairs (the VR
+    driver's 6 faces); per-item structure normalization matches N
+    independent calls exactly."""
+    out_hw = tuple(out_hw) if out_hw is not None else flow1.shape[1:3]
+    if images is not None:
+        return _consistency_streaming_batch_impl(
+            flow1, flow2, images, out_hw, True, band, float(rho)) / 255.0
+    dummy = jnp.zeros(flow1.shape[:3] + (1,), jnp.float32)
+    return _consistency_streaming_batch_impl(
+        flow1, flow2, dummy, out_hw, False, band, float(rho)) / 255.0
+
+
 def consistency_mask(flow1, flow2, image=None, rho: float = 3.0, band=None):
     """Reliability of flow1 cross-checked against flow2.
 

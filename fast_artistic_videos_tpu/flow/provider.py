@@ -110,3 +110,60 @@ class StreamingFlowProvider:
                                                 band=band)
             self.last_band = band  # warp-band hint for the engine step
         return backward, cert
+
+
+class BatchedStreamingFlowProvider:
+    """Streaming flow for N synchronized temporal streams in ONE program
+    per step — the VR driver's 6 cube faces (each face is its own temporal
+    stream, all advancing together). Per step: one batched pyramid, one
+    batched refine of both directions, one batched flow-res consistency
+    check. The pyramid convs batch ~4x better than 6 sequential dispatches
+    and refine ~1.2x (BENCH_NOTES VR section).
+
+    Call with frames (N, H, W, 3); returns a list of N (backward_flow,
+    certainty) device-array pairs, or None for the first frame. The band
+    bucket is shared across streams (max |flow| over the batch)."""
+
+    def __init__(self, params=None, use_structure: bool = True,
+                 flow_scale: float = 1.0, flow_estimator=None, dtype=None):
+        if flow_estimator is not None:
+            self.estimator = flow_estimator
+        else:
+            if params is None:
+                raise ValueError("need params or flow_estimator")
+            self.estimator = estimator.FlowEstimator(
+                params, dtype=dtype or jnp.float32)
+        self.use_structure = use_structure
+        self.flow_scale = flow_scale
+        self._prev_feats = None
+        self._pending_maxabs = None
+        self.last_band = None
+
+    def reset(self) -> None:
+        self._prev_feats = None
+        self._pending_maxabs = None
+
+    def __call__(self, frames):
+        frames = jnp.asarray(frames)
+        n, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
+        feats = self.estimator.prep_batch(frames, self.flow_scale)
+        prev_feats, self._prev_feats = self._prev_feats, feats
+        if prev_feats is None:
+            return None
+        backward, bwd_low, fwd_low, maxabs = self.estimator.refine_pair_batch(
+            feats, prev_feats, (h, w), self.flow_scale)
+        prev_maxabs, self._pending_maxabs = self._pending_maxabs, maxabs
+        try:
+            maxabs.copy_to_host_async()
+        except AttributeError:
+            pass
+        band = 2 * flow_band(float(prev_maxabs if prev_maxabs is not None
+                                   else maxabs))
+        images = frames if self.use_structure else None
+        certs = consistency.consistency_mask_streaming_batch(
+            bwd_low, fwd_low, images, out_hw=(h, w), band=band)
+        if self.flow_scale != 1.0:
+            self.last_band = flow_band(band / self.flow_scale)
+        else:
+            self.last_band = band
+        return [(backward[i], certs[i]) for i in range(n)]

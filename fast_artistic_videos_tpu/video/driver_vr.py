@@ -122,11 +122,17 @@ class _Geometry:
 
 class VRDriver:
     def __init__(self, engine: StylizerEngine, opt: VROptions, eval_fn=None,
-                 flow_provider_factory=None):
+                 flow_provider_factory=None, batched_flow_provider=None):
         """flow_provider_factory: optional zero-arg callable building a
         streaming flow provider (flow.provider.StreamingFlowProvider); one
         provider per cube-face position replaces the flow/occlusion file
-        patterns (each face is its own temporal stream)."""
+        patterns (each face is its own temporal stream).
+
+        batched_flow_provider: a flow.provider.BatchedStreamingFlowProvider
+        — all 6 face flows of a frame computed in ONE program at frame
+        start (the faces' temporal streams are independent; only the
+        spatial border priors are sequential). Takes precedence over
+        flow_provider_factory."""
         self.engine = engine
         self.opt = opt
         self.eval_fn = eval_fn
@@ -135,10 +141,16 @@ class VRDriver:
         self.segments: List[Optional[np.ndarray]] = [None] * 6       # current frame
         self.prev_segments: List[Optional[np.ndarray]] = [None] * 6  # previous frame (blended)
         self.last_content: Optional[np.ndarray] = None
+        self.batched_flow = batched_flow_provider
         self.flow_providers = (
             [flow_provider_factory() for _ in range(6)]
-            if flow_provider_factory is not None else None
+            if flow_provider_factory is not None and batched_flow_provider is None
+            else None
         )
+        # streaming := flow/certainty come from _streamed instead of files
+        self.streaming = (self.flow_providers is not None
+                          or batched_flow_provider is not None)
+        self._frame_faces: Optional[List[jnp.ndarray]] = None
         self._streamed: List[Optional[tuple]] = [None] * 6
         self._border_jits: dict = {}  # pos -> jitted border builder
         self._blend_jit = None
@@ -150,6 +162,20 @@ class VRDriver:
 
     def _face_path(self, file_idx: int, pos: int) -> str:
         return self.opt.input_pattern % (file_idx, PROC_ORDER[pos])
+
+    def _load_frame_faces(self, i: int) -> Optional[List[np.ndarray]]:
+        """All 6 faces of the frame containing face-index i (batched
+        streaming path); None if any file is missing (end of video)."""
+        file_idx = (i - 1) // 6 + self.opt.start_frame
+        faces = []
+        for pos in range(6):
+            path = self._face_path(file_idx, pos)
+            if not os.path.exists(path):
+                return None
+            faces.append(io.load_image(path))
+        if self.geo is None:
+            self.geo = _Geometry(faces[0].shape[0], faces[0].shape[1], self.opt)
+        return faces
 
     def load_face(self, i: int) -> Optional[np.ndarray]:
         pos = (i - 1) % 6
@@ -192,7 +218,7 @@ class VRDriver:
         file_idx = (i - 1) // 6 + opt.start_frame
         border = self._border_cert(pos)
         if i >= 7 and not opt.create_inconsistent:
-            if self.flow_providers is not None:
+            if self.streaming:
                 streamed = self._streamed[pos]
                 if streamed is None:
                     return border
@@ -227,13 +253,15 @@ class VRDriver:
 
         if i >= 7 and not opt.create_inconsistent:
             band = None
-            if self.flow_providers is not None:
+            if self.streaming:
                 streamed = self._streamed[pos]
                 if streamed is None:
                     return border
                 flow = streamed[0]
                 if not self.engine.config.exact_warp:
-                    band = self.flow_providers[pos].last_band
+                    band = (self.batched_flow.last_band
+                            if self.batched_flow is not None
+                            else self.flow_providers[pos].last_band)
             else:
                 flow_name = format_flow_name(opt.flow_pattern, file_idx - 1, file_idx)
                 flow_name = flow_name % PROC_ORDER[pos] if "%" in flow_name else flow_name
@@ -428,16 +456,32 @@ class VRDriver:
                 return 0
         count = 0
         for i in range(start, n_indices + 1):
-            img = self.load_face(i)
-            if img is None:
-                break
-            t0 = time.monotonic()
             pos = (i - 1) % 6
-            # one upload per face: the flow provider and the engine step
-            # both consume the same device array
-            img = jnp.asarray(img)
-            if self.flow_providers is not None and not self.opt.create_inconsistent:
-                self._streamed[pos] = self.flow_providers[pos](img)
+            if self.batched_flow is not None and not self.opt.create_inconsistent:
+                # batched streaming: at frame start load all 6 faces, run
+                # one program for all face flows (the faces' temporal
+                # streams are independent; only border priors sequence)
+                if pos == 0 or self._frame_faces is None:
+                    faces = self._load_frame_faces(i)
+                    if faces is None:
+                        break
+                    self._frame_faces = [jnp.asarray(f) for f in faces]
+                    out = self.batched_flow(jnp.stack(self._frame_faces))
+                    self._streamed = list(out) if out is not None else [None] * 6
+                img = self._frame_faces[pos]
+                if self.eval_fn is not None:
+                    self.last_content = np.asarray(img)
+                t0 = time.monotonic()
+            else:
+                img = self.load_face(i)
+                if img is None:
+                    break
+                t0 = time.monotonic()
+                # one upload per face: the flow provider and the engine step
+                # both consume the same device array
+                img = jnp.asarray(img)
+                if self.flow_providers is not None and not self.opt.create_inconsistent:
+                    self._streamed[pos] = self.flow_providers[pos](img)
             file_idx = (i - 1) // 6 + opt.start_frame
             if self._is_single(i):
                 stylized = self.engine.stylize_first(img)

@@ -182,6 +182,36 @@ def test_flow_on_pinned_device(rng):
     assert jax.tree_util.tree_leaves(est.params)[0].devices() == {dev}
 
 
+def test_batched_provider_matches_independent_streams(rng):
+    """BatchedStreamingFlowProvider (one program for N faces) must produce
+    the same flows and certainty masks as N independent per-face
+    StreamingFlowProviders."""
+    from fast_artistic_videos_tpu.flow.provider import (
+        BatchedStreamingFlowProvider, StreamingFlowProvider)
+
+    params = estimator.init_params(jax.random.PRNGKey(0))
+    est = estimator.FlowEstimator(params)
+    singles = [StreamingFlowProvider(flow_estimator=est, flow_scale=0.5)
+               for _ in range(3)]
+    batched = BatchedStreamingFlowProvider(params, flow_scale=0.5)
+    f1 = np.stack([_smooth_image(np.random.default_rng(s), 32, 32)
+                   for s in range(3)])
+    f2 = np.stack([np.roll(x, 2, axis=1) for x in f1])
+    assert batched(f1) is None
+    for k in range(3):
+        assert singles[k](f1[k]) is None
+    outs = batched(f2)
+    assert len(outs) == 3
+    for k in range(3):
+        flow_s, cert_s = singles[k](f2[k])
+        flow_b, cert_b = outs[k]
+        np.testing.assert_allclose(np.asarray(flow_b), np.asarray(flow_s),
+                                   atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(cert_b), np.asarray(cert_s),
+                                   atol=1e-5)
+    assert batched.last_band is not None
+
+
 BUNDLED_FLOW = os.path.join(
     os.path.dirname(estimator.__file__), "..", "assets", "flow_pwclite.npz")
 
