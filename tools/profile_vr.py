@@ -22,7 +22,8 @@ import jax.numpy as jnp
 sys.path.insert(0, "/root/repo")
 
 from fast_artistic_videos_tpu.flow import estimator as fest
-from fast_artistic_videos_tpu.flow.provider import StreamingFlowProvider
+from fast_artistic_videos_tpu.flow.provider import (
+    BatchedStreamingFlowProvider, StreamingFlowProvider)
 from fast_artistic_videos_tpu.models import arch_dsl, stylizer
 from fast_artistic_videos_tpu.ops import filters
 from fast_artistic_videos_tpu.video.driver_vr import VRDriver, VROptions, _Geometry
@@ -64,9 +65,9 @@ def main():
     fparams = fest.init_params(jax.random.PRNGKey(1))
     shared_est = fest.FlowEstimator(fparams, dtype=jnp.bfloat16)
 
-    driver = VRDriver(engine, opt, flow_provider_factory=lambda:
-                      StreamingFlowProvider(flow_scale=flow_scale,
-                                            flow_estimator=shared_est))
+    driver = VRDriver(engine, opt, batched_flow_provider=
+                      BatchedStreamingFlowProvider(
+                          flow_scale=flow_scale, flow_estimator=shared_est))
     driver.geo = _Geometry(face, face, opt)
 
     rng = np.random.default_rng(0)
@@ -86,7 +87,8 @@ def main():
     sync = lambda x: float(jnp.sum(x))  # noqa: E731
 
     # stage: streaming flow (prep + refine_pair + consistency @ flow res)
-    prov = driver.flow_providers[4]
+    prov = StreamingFlowProvider(flow_scale=flow_scale,
+                                 flow_estimator=shared_est)
     prov(faces[0])
     state = {"i": 0}
 
@@ -94,10 +96,23 @@ def main():
         state["i"] += 1
         return prov(faces[state["i"] % 6])
 
-    out["flow provider step"] = timeit(
+    out["flow provider step (1 face)"] = timeit(
         lambda: flow_step(), lambda: sync(prov(faces[0])[0]), n)
-    prov.reset()
-    prov(faces[0])
+
+    # stage: batched flow — all 6 face flows in one program (the driver's
+    # default streaming path)
+    bprov = driver.batched_flow
+    stack6 = jnp.stack(faces)
+    stack6b = jnp.stack(faces[::-1])
+    bprov(stack6)
+    bstate = {"i": 0}
+
+    def bflow_step():
+        bstate["i"] += 1
+        return bprov(stack6 if bstate["i"] % 2 else stack6b)
+
+    out["batched flow (6 faces)"] = timeit(
+        lambda: bflow_step(), lambda: sync(bprov(stack6)[0][0]), n)
 
     # stage: border prior build, worst-case face position 4 (4 warps + rots)
     bfn = driver._border_fn(4)
@@ -125,11 +140,13 @@ def main():
         lambda: sync(engine.stylize_with_prior(faces[0], border, ce,
                                                erode_cert=False)), n)
 
-    # full steady-state face step (the run()-loop body for i>=7, pos 4)
+    # steady-state face step WITHOUT flow (flow is batched per frame now):
+    # erode + border prior + temporal blend + stylize
+    streamed6 = bprov(stack6)
+
     def face_step(k):
         img = faces[k % 6]
-        streamed = prov(img)
-        f, c = streamed
+        f, c = streamed6[k % 6]
         c_er = ero(c)
         b = bfn(*faces[:4])
         prior = tfn(faces[4], f, b, c_er)
@@ -143,7 +160,7 @@ def main():
 
     chained_face()
     sync(state2["y"])
-    out["FULL face step"] = timeit(chained_face, lambda: sync(state2["y"]), n)
+    out["face step (no flow)"] = timeit(chained_face, lambda: sync(state2["y"]), n)
 
     # per frame: cross-face blend + median filter (once per 6 faces)
     blend = lambda: driver.blend_other_sides()  # noqa: E731
@@ -154,7 +171,8 @@ def main():
         lambda: [med(s) for s in faces],
         lambda: sync(med(faces[0])), max(2, n // 2))
 
-    per_frame = (6 * out["FULL face step"]
+    per_frame = (out["batched flow (6 faces)"]
+                 + 6 * out["face step (no flow)"]
                  + out["blend_other_sides (per frame)"]
                  + out["median x6 (per frame)"])
     print(f"{'VR frame (6 faces + blend + median)':34s} {per_frame:8.2f} ms "
