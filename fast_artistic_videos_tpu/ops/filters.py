@@ -73,6 +73,22 @@ def median_filter(x, size: int):
             sl[h_ax] = slice(dy, dy + hh)
             sl[w_ax] = slice(dx, dx + ww)
             patches.append(x[tuple(sl)])
+    if size == 3:
+        # Paeth's median-of-9 exchange network: 19 min/max ops instead of a
+        # full 9-element sort — exact same median, ~3x cheaper on TPU
+        # (sorting a 9-length minor axis is a multi-pass bitonic sort over
+        # a 9x-materialized stack)
+        p = patches
+
+        def ex(i, j):
+            p[i], p[j] = jnp.minimum(p[i], p[j]), jnp.maximum(p[i], p[j])
+
+        ex(1, 2); ex(4, 5); ex(7, 8); ex(0, 1); ex(3, 4); ex(6, 7)
+        ex(1, 2); ex(4, 5); ex(7, 8); ex(0, 3); ex(5, 8); ex(4, 7)
+        ex(3, 6); ex(1, 4); ex(2, 5); ex(4, 7); ex(4, 2); ex(6, 4)
+        ex(4, 2)
+        med = p[4]
+        return med[..., 0] if squeeze else med
     stack = jnp.stack(patches, axis=-1)
     k = (size * size - 1) // 2  # 0-indexed (n+1)/2-th smallest for odd n
     med = jnp.sort(stack, axis=-1)[..., k]
