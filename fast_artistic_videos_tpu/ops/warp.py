@@ -175,6 +175,9 @@ def make_static_warp(map_np, sentinel: float = 9999.0):
         zero_like = map_np  # degenerate: nothing mapped
 
         def warp_none(img):
+            if img.ndim == 4:
+                return jnp.zeros((img.shape[0], ho, wo) + img.shape[3:],
+                                 img.dtype)
             return jnp.zeros((ho, wo) + img.shape[2:], img.dtype)
 
         return warp_none
@@ -200,15 +203,24 @@ def make_static_warp(map_np, sentinel: float = 9999.0):
     adj_j = jnp.asarray(adj)
 
     def warp(img):
-        h, w = img.shape[0], img.shape[1]
+        """img: (H, W, C) or (N, H, W, C) — a batch shares the map (the VR
+        cross-face blend warps 6 faces per edge map in one batched gather)."""
+        batched = img.ndim == 4
+        h, w = img.shape[-3], img.shape[-2]
         # clip the source crop to the image (sentinel taps stay far out of
         # bounds after the shift and keep sampling zero)
         ya, yb = max(sy0, 0), min(sy1, h)
         xa, xb = max(sx0, 0), min(sx1, w)
-        src = jax.lax.slice(img, (ya, xa, 0), (yb, xb, img.shape[2]))
         m = adj_j
         if (ya, xa) != (sy0, sx0):
             m = m + jnp.asarray([sx0 - xa, sy0 - ya], m.dtype)
+        if batched:
+            src = jax.lax.slice(img, (0, ya, xa, 0),
+                                (img.shape[0], yb, xb, img.shape[3]))
+            strip = jax.vmap(lambda s: _warp_single(s, m))(src)
+            return jnp.pad(strip,
+                           ((0, 0), (y0, ho - y1), (x0, wo - x1), (0, 0)))
+        src = jax.lax.slice(img, (ya, xa, 0), (yb, xb, img.shape[2]))
         strip = _warp_single(src, m)
         return jnp.pad(strip, ((y0, ho - y1), (x0, wo - x1), (0, 0)))
 

@@ -353,6 +353,10 @@ class VRDriver:
             r90, rm90, r180 = vr.rotate90, vr.rotate_minus90, vr.rotate180
 
             def blend(s):
+                # NOTE: batching each edge map's 6 inputs into one vmapped
+                # strip gather was MEASURED SLOWER (28.6 -> 48.9 ms/frame;
+                # XLA lowers batched gathers poorly) — keep the 24
+                # individual strip warps (BENCH_NOTES negative results)
                 def combine(a, b, c, d):
                     return (a + b + c + d) / div
 

@@ -227,6 +227,20 @@ def test_static_warp_matches_gather_on_vr_border_maps(rng):
         np.testing.assert_allclose(fast, ref, atol=2e-5)
 
 
+def test_static_warp_batched_matches_per_item(rng):
+    """The (N, H, W, C) batched form of a static warp must equal N
+    independent single-image warps."""
+    from fast_artistic_videos_tpu.video import vr_geometry as vr
+
+    m = vr.perspective_warp_map_left(48, 10, 48)
+    w = warp.make_static_warp(m)
+    imgs = jnp.asarray(rng.random((3, 48, 48, 2)), jnp.float32)
+    batched = np.asarray(jax.jit(w)(imgs))
+    for k in range(3):
+        np.testing.assert_allclose(batched[k], np.asarray(w(imgs[k])),
+                                   atol=1e-6)
+
+
 def test_static_warp_equirect_map_no_crop(rng):
     """A map with no sentinel region (every output pixel mapped, e.g. the
     cube->equirect map) must still work — the crop is the whole frame."""
