@@ -443,18 +443,34 @@ def _norm_apply(x, p, use_instance_norm: bool):
     return (x.astype(jnp.float32) * eff_scale + eff_bias).astype(x.dtype)
 
 
-def _block_apply(x, p, layer: LayerSpec, use_in: bool, residual: bool):
+def _block_conv(h, pw, pb, pad: int, pallas_conv: bool):
+    """Block conv dispatch: the Pallas im2col-K kernel for 3x3 stride-1
+    convs at MXU-friendly widths (inference path), XLA conv otherwise."""
+    if (pallas_conv and pw.shape[0] == 3 and pw.shape[1] == 3
+            and pw.shape[2] % 128 == 0 and pw.shape[3] % 128 == 0):
+        from ..ops import conv_pallas
+
+        if pad == 1:
+            return conv_pallas.conv3x3_pallas(h, pw, pb)
+        # pad == 0: caller already applied the block's reflect/replicate
+        # halo, so h is (N, H+2, W+2, C) and the conv is VALID
+        return conv_pallas.conv3x3_pallas_valid(h, pw, pb)
+    return conv2d(h, pw, pb, 1, pad)
+
+
+def _block_apply(x, p, layer: LayerSpec, use_in: bool, residual: bool,
+                 pallas_conv: bool = False):
     pt = layer.block_padding
     inner_pad = 1 if pt == "zero" else 0
     h = x
     if pt in ("reflect", "replicate"):
         h = _pad2d(h, 1, pt)
-    h = conv2d(h, p["conv1"]["w"], p["conv1"]["b"], 1, inner_pad)
+    h = _block_conv(h, p["conv1"]["w"], p["conv1"]["b"], inner_pad, pallas_conv)
     h = _norm_apply(h, p["norm1"], use_in)
     h = jax.nn.relu(h)
     if pt in ("reflect", "replicate"):
         h = _pad2d(h, 1, pt)
-    h = conv2d(h, p["conv2"]["w"], p["conv2"]["b"], 1, inner_pad)
+    h = _block_conv(h, p["conv2"]["w"], p["conv2"]["b"], inner_pad, pallas_conv)
     h = _norm_apply(h, p["norm2"], use_in)
     if not residual:
         return h
@@ -505,7 +521,7 @@ def _s2d_conv(x, w, b, ksize: int, pad: int):
 
 
 def apply(params: Params, spec: ModelSpec, x, *, dtype=None, optimize: bool = True,
-          stop_after=None):
+          stop_after=None, pallas_conv: bool = False):
     """Run the stylizer. x: (N, H, W, in_channels) in preprocessed (VGG)
     space; returns (N, H, W, 3) in VGG space (pre-deprocess).
 
@@ -513,6 +529,15 @@ def apply(params: Params, spec: ModelSpec, x, *, dtype=None, optimize: bool = Tr
     (currently: folding nearest-upsample x2 into the following conv —
     instance norm and ReLU commute with nearest duplication, so they run at
     low resolution too).
+
+    pallas_conv=True routes MXU-width 3x3 stride-1 convs (the residual
+    blocks) through ops.conv_pallas (im2col-K single-dot kernel) —
+    INFERENCE ONLY (no custom VJP). Standalone the kernel beats XLA's conv
+    ~1.5x, but INSIDE the full streaming program it regressed 37.6 ->
+    30.2 fps (layout transitions at the pallas_call boundary + lost
+    IN/ReLU fusion), so no call site enables it today (BENCH_NOTES
+    negative results). Kept as the starting point for a fused
+    conv+IN+ReLU block kernel.
     """
     if dtype is not None:
         x = x.astype(dtype)
@@ -607,9 +632,11 @@ def apply(params: Params, spec: ModelSpec, x, *, dtype=None, optimize: bool = Tr
         elif layer.kind == "upsample":
             x = upsample_nearest(x, layer.scale)
         elif layer.kind == "conv_block":
-            x = _block_apply(x, p, layer, use_in, residual=False)
+            x = _block_apply(x, p, layer, use_in, residual=False,
+                             pallas_conv=pallas_conv)
         elif layer.kind == "res_block":
-            x = _block_apply(x, p, layer, use_in, residual=True)
+            x = _block_apply(x, p, layer, use_in, residual=True,
+                             pallas_conv=pallas_conv)
         if layer.norm_after:
             x = _norm_apply(x, params[name + "_norm"], use_in)
         if layer.relu_after:
