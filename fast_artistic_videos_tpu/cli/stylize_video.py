@@ -89,6 +89,7 @@ def main(argv=None):
             device=device,
             flow_scale=opt.flow_scale,
             dtype=jnp.bfloat16 if opt.dtype == "bfloat16" else None,
+            coarse_backward=opt.coarse_backward,
         )
     eval_fn = None
     if opt.evaluate:

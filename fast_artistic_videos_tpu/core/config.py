@@ -184,6 +184,9 @@ class StylizeOptions:
     flow_model: str = ""                # on-TPU flow estimator weights (.npz);
                                         # replaces flow/occlusion file patterns
     flow_scale: float = 1.0             # estimate flow at reduced resolution
+    coarse_backward: bool = False       # refine the backward direction one
+                                        # level less (speed knob; ~4.6% more
+                                        # pixels conservatively flagged)
     flow_device: int = -1               # pin the flow stage to a device index
     # evaluation
     evaluate: bool = False

@@ -182,6 +182,25 @@ def test_flow_on_pinned_device(rng):
     assert jax.tree_util.tree_leaves(est.params)[0].devices() == {dev}
 
 
+def test_coarse_backward_provider(rng):
+    """coarse_backward refines the checked direction one level less; the
+    forward flow is identical and the mask stays mask-shaped."""
+    params = estimator.init_params(jax.random.PRNGKey(0))
+    full = StreamingFlowProvider(params, use_structure=False, flow_scale=0.5)
+    coarse = StreamingFlowProvider(params, use_structure=False, flow_scale=0.5,
+                                   coarse_backward=True)
+    f1 = _smooth_image(rng, 64, 64)
+    f2 = np.roll(f1, 2, axis=1)
+    full(f1); coarse(f1)
+    flow_f, cert_f = full(f2)
+    flow_c, cert_c = coarse(f2)
+    # forward direction is untouched
+    np.testing.assert_allclose(np.asarray(flow_f), np.asarray(flow_c),
+                               atol=1e-5)
+    assert cert_c.shape == cert_f.shape
+    assert 0.0 <= float(jnp.min(cert_c)) and float(jnp.max(cert_c)) <= 1.0
+
+
 def test_batched_provider_matches_independent_streams(rng):
     """BatchedStreamingFlowProvider (one program for N faces) must produce
     the same flows and certainty masks as N independent per-face
