@@ -11,6 +11,7 @@ the inference CLIs and produced by the t7 importer.
 from __future__ import annotations
 
 import json
+import os
 from typing import Any, Dict, Tuple
 
 import jax.numpy as jnp
@@ -50,7 +51,15 @@ def save_model(path: str, params: Dict[str, Any], meta: Dict[str, Any]) -> None:
 
 
 def load_model(path: str) -> Tuple[ModelSpec, Dict[str, Any], Dict[str, Any]]:
-    """Returns (spec, params, meta)."""
+    """Returns (spec, params, meta). The literal string ``demo`` resolves
+    to the bundled in-tree demo checkpoint (assets/demo-candy-video.npz,
+    canonical arch trained on procedural data against the candy style
+    fixture) so every stylize CLI runs out of the box with zero
+    downloads — unlike the reference, whose models only exist behind
+    download_models.sh."""
+    if path == "demo":
+        path = os.path.join(os.path.dirname(__file__), "..", "assets",
+                            "demo-candy-video.npz")
     with np.load(path) as z:
         flat = {k: z[k] for k in z.files}
     meta = json.loads(bytes(flat.pop("__meta__")).decode())

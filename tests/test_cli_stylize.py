@@ -232,3 +232,24 @@ def test_cli_scale_factor(clip, tmp_path):
     assert rc == 0
     out = io.load_image(str(clip / "outsf" / "out-00002.png"))
     assert out.shape == (20, 24, 3)  # full-size output despite half-res compute
+
+
+def test_zero_download_demo_pipeline(tmp_path, rng):
+    """The showcase command: stylize a video with the BUNDLED demo model
+    and BUNDLED flow weights — no external files at all (the reference
+    cannot run without download_models.sh + a flow binary)."""
+    from fast_artistic_videos_tpu.cli import stylize_video
+
+    base = rng.random((64, 96, 3)).astype(np.float32)
+    for i in (1, 2):
+        io.save_image(str(tmp_path / f"frame_{i:05d}.ppm"),
+                      np.roll(base, i * 3, axis=1))
+    rc = stylize_video.main([
+        "--input_pattern", str(tmp_path / "frame_%05d.ppm"),
+        "--model_vid", "demo", "--flow_model", "bundled",
+        "--output_prefix", str(tmp_path / "out/o"), "--num_frames", "2",
+    ])
+    assert rc == 0
+    out = io.load_image(str(tmp_path / "out/o-00002.png"))
+    assert out.shape == (64, 96, 3)
+    assert np.isfinite(out).all()
