@@ -402,8 +402,12 @@ class Trainer:
         return val_loss
 
     def _dump_debug_images(self, imgs, certs, out2, warped, num_steps):
-        """debug/ dumps every images_every iterations (train_video.lua:303-309)."""
-        d = "debug"
+        """debug/ dumps every images_every iterations (train_video.lua:303-309).
+        Fixed vs reference: dumps land NEXT TO the checkpoint, not in the
+        process CWD (the reference's bare 'debug/' littered whatever
+        directory training ran from)."""
+        base_dir = os.path.dirname(self.opt.checkpoint_name)
+        d = os.path.join(base_dir, "debug") if base_dir else "debug"
         os.makedirs(d, exist_ok=True)
         def dep(x):
             return np.clip(np.asarray(vgg_deprocess(jnp.asarray(x))), 0, 1)
