@@ -156,6 +156,8 @@ def main(argv=None):
         subprocess.run(
             [_ffmpeg(), "-nostdin", "-loglevel", "error", "-y",
              "-framerate", str(args.fps),
+             # with --continue_with N the first equi frame is N, not 1
+             "-start_number", str(args.continue_with or 1),
              "-i", out_prefix + "-%05d_equi.png", out_video],
             check=True,
         )

@@ -352,11 +352,13 @@ class FlowEstimator:
         """Both flow directions from two cached pyramids, in ONE compiled
         program.
 
-        coarse_backward=True refines the backward direction one pyramid
-        level less (it only feeds the consistency check): ~18% cheaper
-        pair at 540p for a 92% identical mask; ~4.6% of non-occluded
-        pixels are additionally (conservatively) flagged unreliable —
-        measured on the held-out protocols, BENCH_NOTES.
+        coarse_backward=True refines the CROSS-CHECK direction (the second,
+        b->a flow — what the streaming provider labels `forward`; it feeds
+        only the consistency check) one pyramid level less. The returned
+        a->b warp flow is always full-quality. ~18% cheaper pair at 540p
+        for a 92% identical mask; ~4.6% of non-occluded pixels are
+        additionally (conservatively) flagged unreliable — measured on the
+        held-out protocols, BENCH_NOTES.
 
         with_lowres=False: (flow_ab, flow_ba, maxabs_ab) — flows (H, W, 2)
         float32 device arrays cropped/upsampled to `out_hw` in full-res pixel

@@ -480,7 +480,7 @@ class Trainer:
             "image_cursor": self.image_source.cursor if self.image_source else None,
             "video_cursor": self.video_source.cursor if self.video_source else None,
         }
-        with open(path + ".rng.json", "w") as f:
+        with open(path + _rng_sidecar_suffix(), "w") as f:
             json.dump(side, f)
 
     def restore_train_state(self, path: str):
@@ -495,8 +495,14 @@ class Trainer:
         self.iteration = int(state["iteration"])
         if self.video_source:
             self.video_source.set_cursor_from_iteration("train", self.iteration + 1)
-        if os.path.exists(path + ".rng.json"):
-            with open(path + ".rng.json") as f:
+        # Per-process sidecar first (multi-host: each host's data cursors are
+        # its own shard's, a shared file would be last-writer-wins), then the
+        # legacy shared name for pre-round-3 checkpoints.
+        side_path = path + _rng_sidecar_suffix()
+        if not os.path.exists(side_path):
+            side_path = path + ".rng.json"
+        if os.path.exists(side_path):
+            with open(side_path) as f:
                 side = json.load(f)
             self.key = jnp.asarray(np.asarray(side["key"], np.uint32))
             st = self.data_rng.bit_generator.state
@@ -510,6 +516,14 @@ class Trainer:
             if self.video_source and side["video_cursor"] is not None:
                 self.video_source.cursor = side["video_cursor"]
         return self
+
+
+def _rng_sidecar_suffix() -> str:
+    """Process 0 keeps the legacy shared ".rng.json" name (single-host
+    checkpoints stay compatible); other hosts write ".rng.p{i}.json" so
+    per-host data cursors never collide under multi-host training."""
+    idx = jax.process_index()
+    return ".rng.json" if idx == 0 else f".rng.p{idx}.json"
 
 
 _EVAL_CACHE: Dict[Tuple[int, int, str], callable] = {}

@@ -245,16 +245,18 @@ def test_bundled_flow_weights_accuracy_gate():
     occluding piecewise motion). Gates: absolute mean-EPE bounds per
     protocol, plus the estimated fwd/bwd pair must pass the reference
     consistency inequality on a floor fraction of non-occluded pixels.
-    Calibrated 2026-08 at 128 px: smooth 1.16 / large 2.01 / discont 3.00
-    mean EPE; pass rates 0.64 / 0.51 / 0.32."""
+    Calibrated 2026-08 at 128 px under the deterministic (crc32) protocol
+    seeding: smooth 0.755 / large 1.814 / discont 1.520 mean EPE; pass
+    rates 0.728 / 0.538 / 0.601. The eval data is procedural from a fixed
+    seed, so bounds are ~1.25x calibrated — a real regression fails."""
     from fast_artistic_videos_tpu.flow import train as flow_train
 
     params = estimator.load_params(BUNDLED_FLOW)
     results = flow_train.evaluate_heldout(params, size=128, n_cases=4)
     bounds = {  # (max mean EPE px, min mean consistency pass rate)
-        "smooth": (2.0, 0.45),
-        "large": (3.5, 0.30),
-        "discont": (5.0, 0.15),
+        "smooth": (1.0, 0.58),
+        "large": (2.3, 0.43),
+        "discont": (2.0, 0.48),
     }
     for name, (epe_mean, epe_max, pass_mean, pass_min) in results.items():
         max_epe, min_pass = bounds[name]

@@ -148,7 +148,10 @@ def test_flow_stylize_two_device_pipeline(rng):
         x = jnp.concatenate([frame, prior, cert[..., None]], -1)[None]
         return stylizer.apply(sparams, spec, x)[0]
 
-    jstylize = jax.jit(stylize, device=dev0)
+    _jst = jax.jit(stylize)
+
+    def jstylize(*xs):  # commit inputs to dev0 (jit(device=) is deprecated)
+        return _jst(*(jax.device_put(x, dev0) for x in xs))
 
     frames = [rng.random((64, 64, 3)).astype(np.float32) for _ in range(4)]
 
