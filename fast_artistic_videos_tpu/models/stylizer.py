@@ -478,6 +478,75 @@ def _block_apply(x, p, layer: LayerSpec, use_in: bool, residual: bool,
     return h + skip
 
 
+def _fused_res_chain(params, x, idxs, interpret=None):
+    """Run a maximal chain of VALID (reflect-start / none padding) residual
+    blocks through ops.rblock_pallas on one constant aligned physical shape.
+
+    x: (1, H, W, C) valid tensor -> (1, H-4k, W-4k, C) for k blocks. The
+    block-output affine+skip of block n is fused into the conv1 launch of
+    block n+1; only the last block's epilogue runs in XLA. See
+    ops/rblock_pallas.py for why (round-2 shrinking-shape negative result).
+    """
+    from ..ops import rblock_pallas as rbp
+
+    h0, w0, _ = x.shape[1:]
+    dtype = x.dtype
+    hp, wp = rbp.chain_geometry(h0, w0, dtype)
+    a = jnp.pad(x[0], ((0, hp - h0), (0, wp - w0), (0, 0)))
+    hv, wv = h0, w0
+    y2 = eff2 = None
+    for n, i in enumerate(idxs):
+        p = params[f"layer{i:02d}"]
+        if n == 0:
+            y1, st1 = rbp.chain_conv(
+                a, p["conv1"]["w"], p["conv1"]["b"], (hv - 2, wv - 2),
+                interpret=interpret)
+        else:
+            y1, st1, a = rbp.chain_conv(
+                y2, p["conv1"]["w"], p["conv1"]["b"], (hv - 2, wv - 2),
+                eff=eff2, skip=a, emit_input=True, interpret=interpret)
+        eff1 = rbp.eff_affine(st1, p["norm1"]["scale"], p["norm1"]["bias"],
+                              (hv - 2) * (wv - 2))
+        y2, st2 = rbp.chain_conv(
+            y1, p["conv2"]["w"], p["conv2"]["b"], (hv - 4, wv - 4),
+            eff=eff1, pre_relu=True, interpret=interpret)
+        eff2 = rbp.eff_affine(st2, p["norm2"]["scale"], p["norm2"]["bias"],
+                              (hv - 4) * (wv - 4))
+        hv, wv = hv - 4, wv - 4
+    out = (y2[:hv, :wv].astype(jnp.float32) * eff2[0] + eff2[1]).astype(dtype)
+    out = out + a[2:2 + hv, 2:2 + wv]
+    return out[None]
+
+
+def _fused_chain_idxs(spec: ModelSpec, params, x, fused_rblocks):
+    """Indices of the first maximal res_block run eligible for the fused
+    Pallas chain; () when disabled or ineligible.
+
+    fused_rblocks=None currently means OFF: the chain alone beats the XLA
+    blocks (2.6 vs 2.8 ms at canonical 1080p shapes), but embedded mid-net
+    XLA inserts a ~6 ms layout-conversion copy at the XLA->pallas boundary
+    (the custom call forces default operand layouts; measured via the
+    independent-input coexistence probe, BENCH_NOTES round 3). Auto-enable
+    returns when the front kernels make the producer pallas too. Training
+    always takes the XLA path (the chain has no custom VJP)."""
+    if fused_rblocks is None:
+        return ()
+    mxu_only = False  # explicit opt-in (tests): any channel count
+    if not fused_rblocks or not spec.use_instance_norm or x.shape[0] != 1:
+        return ()
+    run = []
+    for i, layer in enumerate(spec.layers):
+        ok = (layer.kind == "res_block"
+              and layer.block_padding in ("none", "reflect-start")
+              and not layer.norm_after and not layer.relu_after
+              and (layer.out_channels % 128 == 0 or not mxu_only))
+        if ok:
+            run.append(i)
+        elif run:
+            break
+    return tuple(run)
+
+
 def _s2d_conv(x, w, b, ksize: int, pad: int):
     """Exact rewrite of a stride-1 zero-pad conv with few input or output
     channels as a space-to-depth phase conv at half resolution + d2s.
@@ -521,7 +590,7 @@ def _s2d_conv(x, w, b, ksize: int, pad: int):
 
 
 def apply(params: Params, spec: ModelSpec, x, *, dtype=None, optimize: bool = True,
-          stop_after=None, pallas_conv: bool = False):
+          stop_after=None, pallas_conv: bool = False, fused_rblocks=None):
     """Run the stylizer. x: (N, H, W, in_channels) in preprocessed (VGG)
     space; returns (N, H, W, 3) in VGG space (pre-deprocess).
 
@@ -530,14 +599,20 @@ def apply(params: Params, spec: ModelSpec, x, *, dtype=None, optimize: bool = Tr
     instance norm and ReLU commute with nearest duplication, so they run at
     low resolution too).
 
+    fused_rblocks routes the VALID residual-block chain through the fused
+    Pallas kernels (ops.rblock_pallas): constant aligned physical shapes,
+    conv+prologue fusion, masked instance-norm stats — INFERENCE ONLY (no
+    custom VJP). None (default) is currently OFF (see _fused_chain_idxs:
+    the XLA->pallas boundary layout conversion eats the win mid-net);
+    True forces it on. Numerics match the XLA path to
+    conv-accumulation-order rounding (tests/test_rblock_pallas.py).
+
     pallas_conv=True routes MXU-width 3x3 stride-1 convs (the residual
-    blocks) through ops.conv_pallas (im2col-K single-dot kernel) —
-    INFERENCE ONLY (no custom VJP). Standalone the kernel beats XLA's conv
-    ~1.5x, but INSIDE the full streaming program it regressed 37.6 ->
-    30.2 fps (layout transitions at the pallas_call boundary + lost
-    IN/ReLU fusion), so no call site enables it today (BENCH_NOTES
-    negative results). Kept as the starting point for a fused
-    conv+IN+ReLU block kernel.
+    blocks) through ops.conv_pallas (per-conv im2col-K kernel) — the
+    round-2 predecessor of fused_rblocks, kept for A/B measurement; it
+    LOSES in-graph on the canonical net (37.6 -> 30.2 fps, BENCH_NOTES)
+    because of pad/crop copies on the net's shrinking odd shapes, which is
+    exactly what fused_rblocks' constant-shape chain fixes.
     """
     if dtype is not None:
         x = x.astype(dtype)
@@ -577,12 +652,23 @@ def apply(params: Params, spec: ModelSpec, x, *, dtype=None, optimize: bool = Tr
         start = 2
     if stop_after is not None and stop_after < start:
         return x
+    chain = _fused_chain_idxs(spec, params, x, fused_rblocks)
+    if stop_after is not None and chain and chain[-1] > stop_after:
+        chain = ()
     skip_next_conv = False
     for i, layer in enumerate(spec.layers):
         if i < start:
             continue
         if stop_after is not None and i > stop_after:
             return x
+        if chain and i in chain:
+            if i != chain[0]:
+                continue
+            # chain shrinks 4 px/block: needs room at THIS layer's resolution
+            if x.shape[1] > 4 * len(chain) + 2 and x.shape[2] > 4 * len(chain) + 2:
+                x = _fused_res_chain(params, x, chain)
+                continue
+            chain = ()  # too small; fall through to the XLA block path
         name = f"layer{i:02d}"
         p = params.get(name)
         if skip_next_conv:
