@@ -374,6 +374,56 @@ def _phase_front(x, p0, layer0, norm0, p1, spec, levels: int = 1,
     ) + p2["b"].astype(x.dtype)
 
 
+def _phase_front_pallas(x, p0, layer0, norm0, p1, interpret=None):
+    """`_phase_front(levels=1)` with the 2x2 phased stride-2 conv executed
+    by an ops.front_pallas im2col MXU kernel (XLA runs that conv ~14x off
+    roofline, BENCH_NOTES round 3) and the grouped instance norm + ReLU
+    fused into its prologue. The 5x5-ish phased first conv stays on XLA
+    for now: its 28-channel input cannot be window-DMA'd (Mosaic requires
+    128-aligned lane extents) and lane-padding it to 128 wastes 4.5x MXU.
+
+    Measured in-graph (round 3): REGRESSES 13.5 -> 19.8 ms @1080p — the
+    pallas consumer makes XLA re-lay-out the whole upstream (s2d picks
+    T(2,128) transpose forms, F1 falls back to a slow conv emitter), the
+    same boundary disease as fused_rblocks. Default OFF; kept as the
+    parity-tested base of the planned full-pallas front end.
+
+    Returns (z, stats, count): z (1, H/2, W/2, C1) as `_phase_front` would
+    (before layer 1's own norm/relu), plus the kernel's masked statistics
+    over z so the caller's instance norm needs no extra reduction pass.
+    """
+    from ..ops import front_pallas as fp
+
+    pad0 = layer0.pad
+    o0 = p0["w"].shape[-1]
+    w0, pads = _phase_level_kernel(p0["w"], ((pad0, pad0), (pad0, pad0)))
+    xs = _s2d(x)
+    hv, wv = xs.shape[1], xs.shape[2]
+    y1 = jax.lax.conv_general_dilated(
+        xs, jnp.asarray(w0, x.dtype), (1, 1), pads,
+        dimension_numbers=_DN, preferred_element_type=x.dtype,
+    )[0] + jnp.tile(p0["b"].astype(x.dtype), 4)
+    # grouped IN statistics (phases partition the full-res pixels) in XLA;
+    # the affine + ReLU apply inside the F2 kernel prologue
+    y32sum = jnp.sum(y1.reshape(hv, wv, 4, o0), axis=(0, 1, 2),
+                     dtype=jnp.float32)
+    y32sq = jnp.sum(jnp.square(y1.astype(jnp.float32)).reshape(hv, wv, 4, o0),
+                    axis=(0, 1, 2))
+    count = 4 * hv * wv
+    mean = y32sum / count
+    var = jnp.maximum(y32sq / count - mean * mean, 0.0)
+    es = jax.lax.rsqrt(var + 1e-5) * norm0["scale"].astype(jnp.float32)
+    eb = norm0["bias"].astype(jnp.float32) - mean * es
+    eff1 = jnp.stack([jnp.tile(es, 4), jnp.tile(eb, 4)])
+
+    k1 = _phase_stride2_kernel(p1["w"], 1)
+    hp2 = fp.front_geometry(hv, 2, 1)
+    y1p = jnp.pad(y1, ((1, hp2 - hv - 1), (0, 0), (0, 0)))
+    z, st2 = fp.same_conv(y1p, jnp.asarray(k1, x.dtype), p1["b"], 1, 1, hv,
+                          eff=eff1, relu=True, interpret=interpret)
+    return z[None, :hv], st2, hv * wv
+
+
 def shave(x, s: int):
     return x[:, s:-s, s:-s, :]
 
@@ -590,7 +640,8 @@ def _s2d_conv(x, w, b, ksize: int, pad: int):
 
 
 def apply(params: Params, spec: ModelSpec, x, *, dtype=None, optimize: bool = True,
-          stop_after=None, pallas_conv: bool = False, fused_rblocks=None):
+          stop_after=None, pallas_conv: bool = False, fused_rblocks=None,
+          fused_front=None):
     """Run the stylizer. x: (N, H, W, in_channels) in preprocessed (VGG)
     space; returns (N, H, W, 3) in VGG space (pre-deprocess).
 
@@ -641,14 +692,28 @@ def apply(params: Params, spec: ModelSpec, x, *, dtype=None, optimize: bool = Tr
         # measured SLOWER at 1080p: the extra s2d relayout costs ~1.1 ms and
         # the 16-phase stride-2 kernel is 8x zero-padded (2x2x16 dense taps
         # for 9 logical), so one level is the optimum here (BENCH_NOTES.md).
-        x = _phase_front(
-            x, params["layer00"], spec.layers[0], params["layer00_norm"],
-            params["layer01"], spec,
-        )
-        if spec.layers[1].norm_after:
-            x = _norm_apply(x, params["layer01_norm"], use_in)
-        if spec.layers[1].relu_after:
-            x = jax.nn.relu(x)
+        if fused_front and x.shape[0] == 1:
+            x, st2, cnt = _phase_front_pallas(
+                x, params["layer00"], spec.layers[0], params["layer00_norm"],
+                params["layer01"])
+            if spec.layers[1].norm_after:
+                n1 = params["layer01_norm"]
+                mean = st2[0] / cnt
+                var = jnp.maximum(st2[1] / cnt - mean * mean, 0.0)
+                es = jax.lax.rsqrt(var + 1e-5) * n1["scale"].astype(jnp.float32)
+                eb = n1["bias"].astype(jnp.float32) - mean * es
+                x = (x.astype(jnp.float32) * es + eb).astype(x.dtype)
+            if spec.layers[1].relu_after:
+                x = jax.nn.relu(x)
+        else:
+            x = _phase_front(
+                x, params["layer00"], spec.layers[0], params["layer00_norm"],
+                params["layer01"], spec,
+            )
+            if spec.layers[1].norm_after:
+                x = _norm_apply(x, params["layer01_norm"], use_in)
+            if spec.layers[1].relu_after:
+                x = jax.nn.relu(x)
         start = 2
     if stop_after is not None and stop_after < start:
         return x
