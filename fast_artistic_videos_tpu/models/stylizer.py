@@ -269,7 +269,14 @@ def _grouped_instance_norm(y, scale, bias, phases: int, eps: float = 1e-5):
     return yg.reshape(n, h, w, phases * o)
 
 
-def _folded_upsample_conv(x, w, b, ksize: int, pad: int):
+def _fold_span(ksize: int, pad: int) -> int:
+    """Tap span of the phase kernel `_folded_upsample_conv` builds."""
+    offsets = [(a + u - pad) // 2 for a in range(2) for u in range(ksize)]
+    return max(offsets) - min(offsets) + 1
+
+
+def _folded_upsample_conv(x, w, b, ksize: int, pad: int,
+                          phase_in: bool = False, phase_out: bool = False):
     """Exact rewrite of [nearest-upsample x2 -> k x k stride-1 zero-pad conv]
     as one phase conv at LOW resolution + depth-to-space.
 
@@ -279,9 +286,18 @@ def _folded_upsample_conv(x, w, b, ksize: int, pad: int):
     Cuts the conv's MXU work ~4x and skips materializing the upsampled
     tensor — the dominant cost of the canonical arch's full-res tail
     (measured: 9x9 64->3 @1080p goes ~35 ms -> ~4 ms).
+
+    phase_out=True: return the conv result in the phase domain — (n, h, w,
+    4*o) with phase-MAJOR channel blocks, i.e. exactly `_s2d` of the logical
+    (n, 2h, 2w, o) output — without materializing it. phase_in=True: `x` IS
+    the phase-major form of the logical input (from a previous phase_out,
+    norm/relu'd grouped); requires the small-channel level-2 branch
+    (4*o <= 16, `_fold_span` >= 4). Chaining the canonical tail's two folds
+    this way skips an exact `_d2s`/`_s2d` inverse pair at the mid
+    resolution (BENCH_NOTES round 3).
     """
-    n, h, ww, c = x.shape
-    o = w.shape[-1]
+    n, h, ww, _ = x.shape
+    c, o = w.shape[2], w.shape[-1]  # logical channels (x may be phase-major)
     offsets = [(a + u - pad) // 2 for a in range(2) for u in range(ksize)]
     smin, smax = min(offsets), max(offsets)
     ks = smax - smin + 1
@@ -296,6 +312,24 @@ def _folded_upsample_conv(x, w, b, ksize: int, pad: int):
                     k = add(k, idx, wsrc[u, v])
     k = done(k)
     pads = ((-smin, smax), (-smin, smax))
+    if phase_out:
+        return jax.lax.conv_general_dilated(
+            x, k.astype(x.dtype), (1, 1), pads,
+            dimension_numbers=_DN, preferred_element_type=x.dtype,
+        ) + jnp.tile(b.astype(x.dtype), 4)
+    if phase_in:
+        assert 4 * o <= 16 and ks >= 4, "phase_in needs the level-2 branch"
+        k2, pads2 = _phase_level_kernel(k, pads)
+        perm = _tail_phase_perm(o)
+        if isinstance(k2, jax.core.Tracer):
+            k2 = k2[..., jnp.asarray(perm)]
+        else:
+            k2 = jnp.asarray(np.asarray(k2)[..., perm])
+        y = jax.lax.conv_general_dilated(
+            x, k2.astype(x.dtype), (1, 1), pads2,
+            dimension_numbers=_DN, preferred_element_type=x.dtype,
+        ) + jnp.tile(b.astype(x.dtype), 16)
+        return _d2s_level2(y, o)
     if 4 * o <= 16 and ks >= 4 and h % 2 == 0 and ww % 2 == 0:
         # output channels still starve the MXU (e.g. the canonical 9x9 64->3
         # tail folds to a 5x5 64->12): take one more s2d level — a ~3x3 conv
@@ -721,8 +755,9 @@ def apply(params: Params, spec: ModelSpec, x, *, dtype=None, optimize: bool = Tr
     if stop_after is not None and chain and chain[-1] > stop_after:
         chain = ()
     skip_next_conv = False
+    skip_until = -1
     for i, layer in enumerate(spec.layers):
-        if i < start:
+        if i < start or i <= skip_until:
             continue
         if stop_after is not None and i > stop_after:
             return x
@@ -759,6 +794,49 @@ def apply(params: Params, spec: ModelSpec, x, *, dtype=None, optimize: bool = Tr
                 if layer.relu_after:
                     x = jax.nn.relu(x)
                 pn = params[f"layer{i+1:02d}"]
+                # Whole-tail phase fusion: when the NEXT pair of layers is a
+                # second foldable [U2 -> small-out conv], fold1's _d2s and
+                # fold2's _s2d are exact inverses — keep fold1's result in
+                # the phase domain, run the mid norm/relu GROUPED there
+                # (phases partition the pixels, so grouped IN stats equal
+                # full-res stats exactly), and feed fold2's level-2 branch
+                # directly. The mid-resolution tensor is never materialized.
+                l2 = spec.layers[i + 2] if i + 2 < len(spec.layers) else None
+                l3 = spec.layers[i + 3] if i + 3 < len(spec.layers) else None
+                o1, o3 = pn["w"].shape[-1], (
+                    l3 is not None and l3.kind == "conv"
+                    and params[f"layer{i+3:02d}"]["w"].shape[-1])
+                if (
+                    l2 is not None and l3 is not None
+                    and l2.kind == "upsample" and l2.scale == 2
+                    and not l2.norm_after and not l2.relu_after
+                    and l3.kind == "conv" and l3.stride == 1
+                    and l3.pad_mode is None
+                    and l3.pad == (l3.ksize - 1) // 2
+                    and 4 * o1 > 16 and 4 * o3 <= 16
+                    and _fold_span(l3.ksize, l3.pad) >= 4
+                    and (use_in or not nxt.norm_after)
+                    and (stop_after is None or stop_after > i + 3)
+                ):
+                    y = _folded_upsample_conv(
+                        x, pn["w"], pn["b"], nxt.ksize, nxt.pad,
+                        phase_out=True)
+                    if nxt.norm_after:
+                        n1 = params[f"layer{i+1:02d}_norm"]
+                        y = _grouped_instance_norm(
+                            y, n1["scale"], n1["bias"], 4)
+                    if nxt.relu_after:
+                        y = jax.nn.relu(y)
+                    p3 = params[f"layer{i+3:02d}"]
+                    x = _folded_upsample_conv(
+                        y, p3["w"], p3["b"], l3.ksize, l3.pad, phase_in=True)
+                    if l3.norm_after:
+                        x = _norm_apply(
+                            x, params[f"layer{i+3:02d}_norm"], use_in)
+                    if l3.relu_after:
+                        x = jax.nn.relu(x)
+                    skip_until = i + 3
+                    continue
                 x = _folded_upsample_conv(x, pn["w"], pn["b"], nxt.ksize, nxt.pad)
                 skip_next_conv = True
                 continue
