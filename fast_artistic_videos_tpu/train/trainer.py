@@ -121,6 +121,15 @@ class Trainer:
 
         self.tx = _make_tx(self.lr_sched[0][1])
         self.opt_state = self.tx.init(self.params)
+        # Commit params/optimizer replicated over the data mesh from the
+        # start. Fresh-init and checkpoint-restored runs then present the
+        # SAME input shardings to the jitted step — identical compiled
+        # programs, hence the bit-identical elastic-resume guarantee
+        # (tests/test_parallel.py failure drill); uncommitted init leaves
+        # let XLA pick a different layout than a restored committed tree.
+        rep = pmesh.replicated(self.mesh)
+        self.params = jax.device_put(self.params, rep)
+        self.opt_state = jax.device_put(self.opt_state, rep)
         self.iteration = 0
 
         # data mix
@@ -490,8 +499,13 @@ class Trainer:
         target = {"params": self.params, "opt_state": self.opt_state,
                   "iteration": 0}
         state = ckptr.restore(os.path.abspath(path) + ".orbax", target)
-        self.params = state["params"]
-        self.opt_state = state["opt_state"]
+        # Orbax hands back arrays COMMITTED to their restore device; re-place
+        # them replicated over this trainer's mesh so the restored run can
+        # continue on a mesh of any size (elastic failure drill,
+        # tests/test_parallel.py) instead of erroring on mixed device sets.
+        rep = pmesh.replicated(self.mesh)
+        self.params = jax.device_put(state["params"], rep)
+        self.opt_state = jax.device_put(state["opt_state"], rep)
         self.iteration = int(state["iteration"])
         if self.video_source:
             self.video_source.set_cursor_from_iteration("train", self.iteration + 1)

@@ -268,3 +268,44 @@ def test_banded_consistency_constant_flow_exact():
     a = np.asarray(consistency.consistency_mask(jnp.asarray(f1), jnp.asarray(f2)))
     b = np.asarray(consistency.consistency_mask(jnp.asarray(f1), jnp.asarray(f2), band=8))
     np.testing.assert_array_equal(a, b)
+
+
+def test_banded_warp_error_confined_to_unreliable_region():
+    """Adversarial bound on the banded-warp approximation (ops/warp.py:76-86).
+
+    The banded path evaluates dy at the horizontal tap columns, so it
+    diverges from the exact gather only where dy jumps between the two tap
+    columns — a motion discontinuity. This builds the worst case (a step in
+    dy with fractional dx, so the taps straddle the step), and asserts the
+    contract the drivers rely on: every pixel where banded != exact is
+    marked unreliable (0) by the consistency check of the same flow pair,
+    i.e. the approximation error never leaks into pixels whose warped prior
+    the stylizer is told to trust.
+    """
+    from fast_artistic_videos_tpu.ops import warp
+
+    h, w = 64, 64
+    rng = np.random.default_rng(7)
+    img = rng.uniform(size=(h, w, 3)).astype(np.float32)
+
+    flow = np.zeros((h, w, 2), np.float32)
+    flow[..., 0] = 0.5                # fractional dx: taps at x and x+1
+    flow[:, :32, 1] = 4.0             # dy step across column 32 (divergent
+    flow[:, 32:, 1] = -4.0            # motion: the two halves move apart)
+
+    exact = np.asarray(warp.bilinear_warp(jnp.asarray(img), jnp.asarray(flow)))
+    banded = np.asarray(warp.bilinear_warp(jnp.asarray(img), jnp.asarray(flow), band=8))
+    err = np.abs(exact - banded).max(axis=-1)
+
+    # The adversarial field must actually exercise the approximation...
+    assert err.max() > 0.05, "adversarial field failed to trigger the banded approximation"
+
+    mask = np.asarray(
+        consistency.consistency_mask(jnp.asarray(flow), jnp.asarray(-flow))
+    )
+    # ...and every erring pixel must be consistency-masked (mask == 0).
+    leaking = (err > 1e-6) & (mask > 0.0)
+    assert not leaking.any(), (
+        f"banded-warp error leaks into {int(leaking.sum())} pixels the "
+        "consistency mask calls reliable"
+    )
