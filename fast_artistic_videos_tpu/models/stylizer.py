@@ -458,6 +458,84 @@ def _phase_front_pallas(x, p0, layer0, norm0, p1, interpret=None):
     return z[None, :hv], st2, hv * wv
 
 
+def _grouped_eff(st, norm, phases: int, o: int, count: int, eps: float = 1e-5):
+    """Effective per-channel affine of a grouped instance norm computed from
+    a front kernel's masked [sum; sumsq] statistics (2, phases*o).
+
+    The phases partition the full-resolution pixels, so summing the phase
+    blocks gives exactly the full-res per-channel statistics; the affine is
+    broadcast back to all phase blocks for the next kernel's prologue."""
+    s = st.reshape(2, phases, o).sum(axis=1)
+    n = count * phases
+    mean = s[0] / n
+    var = jnp.maximum(s[1] / n - mean * mean, 0.0)
+    es = jax.lax.rsqrt(var + eps) * norm["scale"].astype(jnp.float32)
+    eb = norm["bias"].astype(jnp.float32) - mean * es
+    return jnp.stack([jnp.tile(es, phases), jnp.tile(eb, phases)])
+
+
+def _phase_front_pallas2(x, p0, layer0, norm0, p1, norm1, p2, interpret=None):
+    """`_phase_front(levels=2)` with all three composed phase convs executed
+    by ops.front_pallas `same_conv` MXU kernels — the full-pallas front end.
+
+    Round-3 BENCH_NOTES localized the fused-kernel regressions to XLA
+    layout conversions at XLA-conv -> pallas boundaries (the custom call
+    forces default layouts while XLA's conv picks another for its output).
+    Here NO XLA conv sits between the input s2d^2 and the residual blocks:
+    C1 (the first conv as a 16-phase 3x3-ish kernel, K = 9*128 after lane
+    padding), C2 (the first strided conv as a 4-phase kernel, C1's grouped
+    instance norm + ReLU fused into its prologue) and C3 (the second
+    strided conv, C2's grouped IN + ReLU fused) all run on the quarter-res
+    grid with 128-multiple lane extents, chained so each kernel's output
+    rows double as the next kernel's zero top margin (chain_plan).
+
+    Semantics: layers 0-2 of the canonical net (models_video.lua:5-9,
+    conv9 -> d64 -> d128) exactly as `_phase_front(levels=2)` computes
+    them. Returns (z, stats, count): z (1, H/4, W/4, C2) — the true
+    quarter-res grid BEFORE layer 2's norm/relu — plus the kernel's masked
+    [sum; sumsq] over it, so the caller fuses layer 2's instance norm into
+    whatever consumes z (the fused residual chain's first prologue).
+    """
+    from ..ops import front_pallas as fp
+
+    pad0 = layer0.pad
+    o0 = p0["w"].shape[-1]
+    o1 = p1["w"].shape[-1]
+    w0, pads = p0["w"], ((pad0, pad0), (pad0, pad0))
+    xs = x
+    for _ in range(2):
+        w0, pads = _phase_level_kernel(w0, pads)
+        xs = _s2d(xs)
+    xs = xs[0]
+    hv, wv, c16 = xs.shape
+    (pt0, pb0), (pl0, pr0) = pads
+    kh0, kw0 = w0.shape[0], w0.shape[1]
+    assert pb0 == kh0 - 1 - pt0 and pr0 == kw0 - 1 - pl0
+    cpad = (-c16) % 128
+
+    shifts, heights = fp.chain_plan(hv, [(kh0, pt0, 4), (2, 1, 2), (2, 1, 4)])
+    m0 = pt0 - shifts[0]
+    xp = jnp.pad(xs, ((m0, heights[0] - hv - m0), (0, 0), (0, cpad)))
+    w0p = jnp.pad(w0, ((0, 0), (0, 0), (0, cpad), (0, 0)))
+    y1, st1 = fp.same_conv(
+        xp, jnp.asarray(w0p, x.dtype), jnp.tile(p0["b"], 16), pt0, pl0, hv,
+        out_row_shift=shifts[0], tile=4, interpret=interpret)
+    eff1 = _grouped_eff(st1, norm0, 16, o0, hv * wv)
+
+    k1 = _phase_stride2_kernel(p1["w"], 2)
+    y2, st2 = fp.same_conv(
+        y1, jnp.asarray(k1, x.dtype), jnp.tile(p1["b"], 4), 1, 1, hv,
+        out_row_shift=shifts[1], eff=eff1, relu=True, tile=2,
+        interpret=interpret)
+    eff2 = _grouped_eff(st2, norm1, 4, o1, hv * wv)
+
+    k2 = _phase_stride2_kernel(p2["w"], 1)
+    z, st3 = fp.same_conv(
+        y2, jnp.asarray(k2, x.dtype), p2["b"], 1, 1, hv,
+        out_row_shift=0, eff=eff2, relu=True, tile=4, interpret=interpret)
+    return z[None, :hv], st3, hv * wv
+
+
 def shave(x, s: int):
     return x[:, s:-s, s:-s, :]
 
@@ -562,7 +640,8 @@ def _block_apply(x, p, layer: LayerSpec, use_in: bool, residual: bool,
     return h + skip
 
 
-def _fused_res_chain(params, x, idxs, interpret=None):
+def _fused_res_chain(params, x, idxs, pre_eff=None, pre_relu=False,
+                     interpret=None):
     """Run a maximal chain of VALID (reflect-start / none padding) residual
     blocks through ops.rblock_pallas on one constant aligned physical shape.
 
@@ -570,6 +649,11 @@ def _fused_res_chain(params, x, idxs, interpret=None):
     block-output affine+skip of block n is fused into the conv1 launch of
     block n+1; only the last block's epilogue runs in XLA. See
     ops/rblock_pallas.py for why (round-2 shrinking-shape negative result).
+
+    pre_eff/pre_relu: the PRODUCER's pending instance-norm affine + ReLU
+    (the full-pallas front hands the raw d128 output plus its stats), fused
+    into the first conv launch; the fused-in true block input is emitted by
+    the kernel and becomes block 1's residual skip.
     """
     from ..ops import rblock_pallas as rbp
 
@@ -582,9 +666,15 @@ def _fused_res_chain(params, x, idxs, interpret=None):
     for n, i in enumerate(idxs):
         p = params[f"layer{i:02d}"]
         if n == 0:
-            y1, st1 = rbp.chain_conv(
-                a, p["conv1"]["w"], p["conv1"]["b"], (hv - 2, wv - 2),
-                interpret=interpret)
+            if pre_eff is not None or pre_relu:
+                y1, st1, a = rbp.chain_conv(
+                    a, p["conv1"]["w"], p["conv1"]["b"], (hv - 2, wv - 2),
+                    eff=pre_eff, pre_relu=pre_relu, emit_input=True,
+                    interpret=interpret)
+            else:
+                y1, st1 = rbp.chain_conv(
+                    a, p["conv1"]["w"], p["conv1"]["b"], (hv - 2, wv - 2),
+                    interpret=interpret)
         else:
             y1, st1, a = rbp.chain_conv(
                 y2, p["conv1"]["w"], p["conv1"]["b"], (hv - 2, wv - 2),
@@ -698,6 +788,13 @@ def apply(params: Params, spec: ModelSpec, x, *, dtype=None, optimize: bool = Tr
     LOSES in-graph on the canonical net (37.6 -> 30.2 fps, BENCH_NOTES)
     because of pad/crop copies on the net's shrinking odd shapes, which is
     exactly what fused_rblocks' constant-shape chain fixes.
+
+    fused_front="full" (inference, batch 1) runs layers 0-2 as the
+    level-2 phase-domain full-pallas front (_phase_front_pallas2) and —
+    unless overridden — turns fused_rblocks ON so the whole mid-net is
+    pallas with no XLA conv at any kernel boundary. fused_front=True is
+    the round-3 F2-only experiment (REGRESSES in-graph, see
+    _phase_front_pallas); both default OFF pending hardware wins.
     """
     if dtype is not None:
         x = x.astype(dtype)
@@ -705,6 +802,7 @@ def apply(params: Params, spec: ModelSpec, x, *, dtype=None, optimize: bool = Tr
         x = _pad2d(x, spec.input_pad, "reflect")
     use_in = spec.use_instance_norm
     start = 0
+    pre_eff, pre_relu = None, False
     if (
         optimize
         and use_in
@@ -723,10 +821,39 @@ def apply(params: Params, spec: ModelSpec, x, *, dtype=None, optimize: bool = Tr
     ):
         # NOTE: a 2-level front (16 phases, absorbing the second strided conv
         # too — levels=2 path of _phase_front) is implemented and exact, but
-        # measured SLOWER at 1080p: the extra s2d relayout costs ~1.1 ms and
-        # the 16-phase stride-2 kernel is 8x zero-padded (2x2x16 dense taps
-        # for 9 logical), so one level is the optimum here (BENCH_NOTES.md).
-        if fused_front and x.shape[0] == 1:
+        # measured SLOWER at 1080p UNDER XLA: the extra s2d relayout costs
+        # ~1.1 ms and the 16-phase stride-2 kernel is 8x zero-padded (2x2x16
+        # dense taps for 9 logical), so one level is the XLA optimum
+        # (BENCH_NOTES.md). fused_front="full" runs the 2-level front on
+        # the ops.front_pallas MXU kernels instead, where the dense-K
+        # im2col dot makes the 16-phase form the fast one.
+        if (fused_front in (2, "full") and x.shape[0] == 1
+                and spec.layers[1].norm_after and spec.layers[1].relu_after
+                and len(spec.layers) >= 3
+                and spec.layers[2].kind == "conv"
+                and spec.layers[2].stride == 2
+                and spec.layers[2].ksize == 3
+                and spec.layers[2].pad == 1
+                and spec.layers[2].pad_mode is None
+                and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0
+                and (stop_after is None or stop_after >= 3)):
+            x, st3, cnt = _phase_front_pallas2(
+                x, params["layer00"], spec.layers[0], params["layer00_norm"],
+                params["layer01"], params["layer01_norm"], params["layer02"])
+            if spec.layers[2].norm_after:
+                n2 = params["layer02_norm"]
+                mean = st3[0] / cnt
+                var = jnp.maximum(st3[1] / cnt - mean * mean, 0.0)
+                es = jax.lax.rsqrt(var + 1e-5) * n2["scale"].astype(jnp.float32)
+                eb = n2["bias"].astype(jnp.float32) - mean * es
+                pre_eff = jnp.stack([es, eb])
+            pre_relu = spec.layers[2].relu_after
+            if fused_rblocks is None:
+                # the producer is pallas: the XLA->pallas layout boundary
+                # that kept the fused chain off cannot occur here
+                fused_rblocks = True
+            start = 3
+        elif fused_front and fused_front not in (2, "full") and x.shape[0] == 1:
             x, st2, cnt = _phase_front_pallas(
                 x, params["layer00"], spec.layers[0], params["layer00_norm"],
                 params["layer01"])
@@ -748,12 +875,22 @@ def apply(params: Params, spec: ModelSpec, x, *, dtype=None, optimize: bool = Tr
                 x = _norm_apply(x, params["layer01_norm"], use_in)
             if spec.layers[1].relu_after:
                 x = jax.nn.relu(x)
-        start = 2
+        start = max(start, 2)
     if stop_after is not None and stop_after < start:
         return x
     chain = _fused_chain_idxs(spec, params, x, fused_rblocks)
     if stop_after is not None and chain and chain[-1] > stop_after:
         chain = ()
+    if chain and not (x.shape[1] > 4 * len(chain) + 2
+                      and x.shape[2] > 4 * len(chain) + 2):
+        chain = ()  # shrinks 4 px/block: too small for the fused chain
+    if (pre_eff is not None or pre_relu) and not (chain and chain[0] == start):
+        # layer 2's pending norm/relu could not fuse into a pallas chain
+        if pre_eff is not None:
+            x = (x.astype(jnp.float32) * pre_eff[0] + pre_eff[1]).astype(x.dtype)
+        if pre_relu:
+            x = jax.nn.relu(x)
+        pre_eff, pre_relu = None, False
     skip_next_conv = False
     skip_until = -1
     for i, layer in enumerate(spec.layers):
@@ -764,11 +901,9 @@ def apply(params: Params, spec: ModelSpec, x, *, dtype=None, optimize: bool = Tr
         if chain and i in chain:
             if i != chain[0]:
                 continue
-            # chain shrinks 4 px/block: needs room at THIS layer's resolution
-            if x.shape[1] > 4 * len(chain) + 2 and x.shape[2] > 4 * len(chain) + 2:
-                x = _fused_res_chain(params, x, chain)
-                continue
-            chain = ()  # too small; fall through to the XLA block path
+            x = _fused_res_chain(params, x, chain,
+                                 pre_eff=pre_eff, pre_relu=pre_relu)
+            continue
         name = f"layer{i:02d}"
         p = params.get(name)
         if skip_next_conv:

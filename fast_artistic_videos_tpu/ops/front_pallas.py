@@ -211,6 +211,45 @@ def same_conv(x, w, b, pad_top: int, pad_left: int, valid_h: int,
                       in_margin, valid_h, relu, tile, interpret)
 
 
+def chain_plan(valid_h: int, stages):
+    """Plan physical heights for a chain of `same_conv` kernels feeding
+    each other (the full-pallas front end: C1 -> C2 -> C3 on the
+    quarter-res phase grid).
+
+    stages: sequence of (kh, pad_top, tile) top-down. Stage i's output is
+    stage i+1's input, so stage i must emit exactly stage i+1's zero top
+    margin: out_row_shift[i] = out_row_shift[i+1] - pad_top[i+1], with the
+    last stage emitting at the logical origin (shift 0). Every stage but
+    the first must have zero bottom padding (kh - 1 == pad_top): a
+    producer only zeroes rows ABOVE the logical origin, never below
+    valid_h, so a consumer needing bottom zeros would read junk.
+
+    Returns (shifts, heights): the per-stage out_row_shift and the minimal
+    physical INPUT height per stage. heights[0] is how tall the chain's
+    input must be zero-padded; heights[i > 0] are guaranteed by
+    construction (stage i-1's nt*tile output covers them).
+    """
+    n = len(stages)
+    for kh, pad_top, _tile in stages[1:]:
+        if kh - 1 != pad_top:
+            raise ValueError("inner chain stages must have zero bottom pad")
+    shifts = [0] * n
+    for i in range(n - 2, -1, -1):
+        shifts[i] = shifts[i + 1] - stages[i + 1][1]
+    heights = [0] * n
+    req_out = 0  # physical rows the NEXT stage needs from this output
+    for i in range(n - 1, -1, -1):
+        kh, pad_top, tile = stages[i]
+        sh = shifts[i]
+        nt = max(-(-(valid_h - sh) // tile), -(-req_out // tile), 1)
+        need = valid_h + (pad_top - sh) + (kh - 1 - pad_top)
+        while nt * tile + kh - 1 < need:
+            nt += 1
+        heights[i] = nt * tile + kh - 1
+        req_out = heights[i]
+    return shifts, heights
+
+
 def front_geometry(valid_h: int, kh: int, pad_top: int,
                    out_row_shift: int = 0, tile: int = _TILE) -> int:
     """Minimal physical input height for a `same_conv`: top margin + valid

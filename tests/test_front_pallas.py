@@ -97,3 +97,51 @@ def test_fused_front_full_apply_parity():
     got = stylizer.apply(params, spec, x, fused_front=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_chain_plan_geometry():
+    """chain_plan must produce heights where (a) each stage's nt covers its
+    valid rows plus shift, (b) each stage's output height covers the next
+    stage's input requirement, (c) margins compose (producer zeroes exactly
+    the consumer's top margin)."""
+    for hv in (13, 64, 270, 290):
+        stages = [(3, 1, 4), (2, 1, 2), (2, 1, 4)]
+        shifts, heights = fp.chain_plan(hv, stages)
+        assert shifts == [-2, -1, 0]
+        out_h = None
+        for (kh, pt, tile), sh, hp in zip(stages, shifts, heights):
+            nt = (hp - (kh - 1)) // tile
+            assert nt * tile >= hv - sh
+            assert hp >= hv + (pt - sh) + (kh - 1 - pt)
+            if out_h is not None:
+                assert out_h >= hp  # producer output covers this input
+            out_h = nt * tile
+
+
+def test_phase_front_pallas2_full_apply_parity():
+    """The level-2 full-pallas front + fused residual chain
+    (fused_front="full") must match the default XLA path end-to-end on the
+    canonical arch — the complete mid-net pallas configuration that the
+    1080p streaming bench runs."""
+    spec = arch_dsl.parse_arch("canonical", in_channels=7)
+    params = stylizer.init_params(jax.random.PRNGKey(0), spec)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 96, 7), jnp.float32)
+    ref = stylizer.apply(params, spec, x)
+    got = stylizer.apply(params, spec, x, fused_front="full")
+    # outputs span ~±150 (canonical tanh constant): atol 2e-3 is ~1.3e-5 of
+    # range, i.e. pure f32 accumulation-order rounding headroom
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-3, atol=2e-3)
+
+
+def test_phase_front_pallas2_without_chain_parity():
+    """fused_front="full" with fused_rblocks explicitly False: layer 2's
+    pending norm/relu must be applied by the XLA fallback path."""
+    spec = arch_dsl.parse_arch("canonical", in_channels=7)
+    params = stylizer.init_params(jax.random.PRNGKey(2), spec)
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 32, 48, 7), jnp.float32)
+    ref = stylizer.apply(params, spec, x)
+    got = stylizer.apply(params, spec, x, fused_front="full",
+                         fused_rblocks=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-3, atol=2e-3)
