@@ -455,7 +455,7 @@ def _phase_front_pallas(x, p0, layer0, norm0, p1, interpret=None):
     y1p = jnp.pad(y1, ((1, hp2 - hv - 1), (0, 0), (0, 0)))
     z, st2 = fp.same_conv(y1p, jnp.asarray(k1, x.dtype), p1["b"], 1, 1, hv,
                           eff=eff1, relu=True, interpret=interpret)
-    return z[None, :hv], st2, hv * wv
+    return z[None, :hv, :wv], st2, hv * wv
 
 
 def _grouped_eff(st, norm, phases: int, o: int, count: int, eps: float = 1e-5):
@@ -525,15 +525,16 @@ def _phase_front_pallas2(x, p0, layer0, norm0, p1, norm1, p2, interpret=None):
     k1 = _phase_stride2_kernel(p1["w"], 2)
     y2, st2 = fp.same_conv(
         y1, jnp.asarray(k1, x.dtype), jnp.tile(p1["b"], 4), 1, 1, hv,
-        out_row_shift=shifts[1], eff=eff1, relu=True, tile=2,
+        out_row_shift=shifts[1], eff=eff1, relu=True, tile=2, valid_w=wv,
         interpret=interpret)
     eff2 = _grouped_eff(st2, norm1, 4, o1, hv * wv)
 
     k2 = _phase_stride2_kernel(p2["w"], 1)
     z, st3 = fp.same_conv(
         y2, jnp.asarray(k2, x.dtype), p2["b"], 1, 1, hv,
-        out_row_shift=0, eff=eff2, relu=True, tile=4, interpret=interpret)
-    return z[None, :hv], st3, hv * wv
+        out_row_shift=0, eff=eff2, relu=True, tile=4, valid_w=wv,
+        interpret=interpret)
+    return z[None, :hv, :wv], st3, hv * wv
 
 
 def shave(x, s: int):

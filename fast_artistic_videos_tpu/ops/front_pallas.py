@@ -43,7 +43,7 @@ _TILE = 4
 
 def _kernel(*refs, tile: int, w: int, cin: int, cout: int, kh: int, kw: int,
             pad_left: int, out_row_shift: int, in_margin: int, hv: int,
-            has_eff: bool, relu: bool):
+            wv: int, has_eff: bool, relu: bool):
     it = iter(refs)
     x_hbm = next(it)
     w_ref = next(it)
@@ -82,9 +82,14 @@ def _kernel(*refs, tile: int, w: int, cin: int, cout: int, kh: int, kw: int,
         if relu:
             win32 = jnp.maximum(win32, 0.0)
         # the input's zero margin rows must STAY zero through the affine
-        # (they are the conv's zero padding, applied post-normalization)
+        # (they are the conv's zero padding, applied post-normalization) —
+        # and so must the zero columns right of the valid width (the
+        # sublane-alignment padding synthesized by `same_conv`)
         gr = t * tile + jax.lax.broadcasted_iota(jnp.int32, win32.shape, 0)
         win32 = jnp.where(gr < in_margin, 0.0, win32)
+        if wv < w:
+            gc = jax.lax.broadcasted_iota(jnp.int32, win32.shape, 1)
+            win32 = jnp.where(gc >= wv, 0.0, win32)
         win = win32.astype(cdtype)
 
     # one f32 roll per column tap (Mosaic rotate is 32-bit only), border
@@ -118,8 +123,11 @@ def _kernel(*refs, tile: int, w: int, cin: int, cout: int, kh: int, kw: int,
     yst = y32.astype(cdtype)
     o_ref[...] = yst
 
-    # instance-norm stats over logical rows [0, hv) only
+    # instance-norm stats over logical rows [0, hv) and columns [0, wv) only
     lmask = ((rows3 + out_row_shift >= 0) & (rows3 + out_row_shift < hv))
+    if wv < w:
+        cols3 = jax.lax.broadcasted_iota(jnp.int32, (tile, w, cout), 1)
+        lmask = lmask & (cols3 < wv)
     sel = jnp.where(lmask, yst.astype(jnp.float32), 0.0)
     upd = jnp.stack([jnp.sum(sel, axis=(0, 1)),
                      jnp.sum(sel * sel, axis=(0, 1))])
@@ -136,16 +144,16 @@ def _kernel(*refs, tile: int, w: int, cin: int, cout: int, kh: int, kw: int,
 @functools.partial(
     jax.jit,
     static_argnames=("kh", "kw", "pad_left", "out_row_shift", "in_margin",
-                     "hv", "relu", "tile", "interpret"))
+                     "hv", "wv", "relu", "tile", "interpret"))
 def _same_conv(x, wmat, b, eff, kh, kw, pad_left, out_row_shift, in_margin,
-               hv, relu, tile, interpret):
+               hv, wv, relu, tile, interpret):
     hp, w, cin = x.shape
     cout = wmat.shape[1]
     nt = (hp - (kh - 1)) // tile  # floor: trailing rows only feed windows
     kernel = functools.partial(
         _kernel, tile=tile, w=w, cin=cin, cout=cout, kh=kh, kw=kw,
         pad_left=pad_left, out_row_shift=out_row_shift, in_margin=in_margin,
-        hv=hv, has_eff=eff is not None, relu=relu)
+        hv=hv, wv=wv, has_eff=eff is not None, relu=relu)
     in_specs = [pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM)]
@@ -173,7 +181,7 @@ def _same_conv(x, wmat, b, eff, kh, kw, pad_left, out_row_shift, in_margin,
 
 def same_conv(x, w, b, pad_top: int, pad_left: int, valid_h: int,
               out_row_shift: int = 0, eff=None, relu: bool = False,
-              tile: int = _TILE, interpret=None):
+              tile: int = _TILE, valid_w: int = None, interpret=None):
     """Zero-padded (SAME-style) conv on a top-margined tensor.
 
     x: (Hp, W, C) with `in_margin = pad_top - out_row_shift` rows of REAL
@@ -188,13 +196,27 @@ def same_conv(x, w, b, pad_top: int, pad_left: int, valid_h: int,
     (zeroed) at physical row 0, giving the output a 1-row zero top margin
     for a following pads-(1,0) conv. eff (2, C) float32 + relu: fused
     previous-norm prologue (margin zeros preserved). stats (2, Cout):
-    masked [sum; sumsq] over logical rows [0, valid_h).
+    masked [sum; sumsq] over logical rows [0, valid_h) x cols [0, valid_w).
+
+    Widths that are not sublane-aligned (multiples of 8) are zero-padded on
+    the right here — Mosaic requires 8-aligned VMEM slices along the
+    second-to-minor dim (this FAULTS on hardware, invisible in interpret
+    mode). The pad columns are exactly the conv's SAME zero padding
+    (prologue re-zeroes them, stats mask them out); the output keeps the
+    padded width so chained stages stay aligned — callers crop to
+    [:valid_h, :valid_w] at the end of the chain. valid_w defaults to this
+    input's width (pass it explicitly on pre-padded chained inputs).
     """
     if interpret is None:
         interpret = jax.devices()[0].platform == "cpu"
     kh, kw = w.shape[0], w.shape[1]
     cin, cout = w.shape[2], w.shape[3]
     hp, ww, _ = x.shape
+    if valid_w is None:
+        valid_w = ww
+    wpad = (-ww) % 8
+    if wpad:
+        x = jnp.pad(x, ((0, 0), (0, wpad), (0, 0)))
     in_margin = pad_top - out_row_shift
     nt = (hp - (kh - 1)) // tile
     if nt * tile < valid_h - out_row_shift:
@@ -208,7 +230,7 @@ def same_conv(x, w, b, pad_top: int, pad_left: int, valid_h: int,
     if eff is not None:
         eff = eff.astype(jnp.float32)
     return _same_conv(x, wmat, b2, eff, kh, kw, pad_left, out_row_shift,
-                      in_margin, valid_h, relu, tile, interpret)
+                      in_margin, valid_h, valid_w, relu, tile, interpret)
 
 
 def chain_plan(valid_h: int, stages):

@@ -34,7 +34,7 @@ import numpy as np
 
 from ..core import io
 from ..core.config import StylizeOptions, format_flow_name
-from ..ops import filters, warp
+from ..ops import filters, warp, warp_pallas
 from ..utils import pipeline
 from . import vr_geometry as vr
 from .engine import StylizerEngine
@@ -54,6 +54,11 @@ class VROptions(StylizeOptions):
     smooth_certainty: bool = False
     create_inconsistent_border: bool = False
     no_consistency_eval: bool = False
+    # border-reprojection warps as gather-free Pallas kernels
+    # (ops.warp_pallas.make_static_strip_warp); None = auto (on for TPU).
+    # The cross-face blend's 24 strip gathers are the VR path's last
+    # chunky stage (BENCH_NOTES: 28.5 ms/frame at 922-px faces).
+    pallas_strip_warp: Optional[bool] = None
 
 
 class _Geometry:
@@ -70,11 +75,21 @@ class _Geometry:
         # strip-specialized warps: the maps are static and touch only an
         # overlap-wide strip; gathering just the strip is ~7x cheaper than
         # a full-frame gather at production face sizes (see
-        # ops.warp.make_static_warp)
-        self.warp_left = warp.make_static_warp(self.map_left)
-        self.warp_right = warp.make_static_warp(self.map_right)
-        self.warp_top = warp.make_static_warp(self.map_top)
-        self.warp_bottom = warp.make_static_warp(self.map_bottom)
+        # ops.warp.make_static_warp). On TPU the maps' separable-projective
+        # structure lets the gather vanish entirely (Pallas lane-shift +
+        # one-hot row resample, ops.warp_pallas.make_static_strip_warp).
+        use_pallas = opt.pallas_strip_warp
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+
+        def _static(m):
+            fn = warp_pallas.make_static_strip_warp(m) if use_pallas else None
+            return fn if fn is not None else warp.make_static_warp(m)
+
+        self.warp_left = _static(self.map_left)
+        self.warp_right = _static(self.map_right)
+        self.warp_top = _static(self.map_top)
+        self.warp_bottom = _static(self.map_bottom)
 
         ones = np.ones((hplus, wplus, 1), np.float32)
         self.mask_left = np.asarray(jax.jit(self.warp_left)(jnp.asarray(ones)))[..., 0]

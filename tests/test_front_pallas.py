@@ -29,14 +29,18 @@ def _xla_same_conv(x, w, b, pad_top, pad_left, valid_h):
     return y[:valid_h]
 
 
-@pytest.mark.parametrize("kh,kw,pad_top,pad_left,shift", [
-    (2, 2, 1, 1, 0),
-    (3, 3, 1, 1, 0),
-    (2, 2, 1, 1, -1),
+@pytest.mark.parametrize("kh,kw,pad_top,pad_left,shift,w", [
+    (2, 2, 1, 1, 0, 256),
+    (3, 3, 1, 1, 0, 256),
+    (2, 2, 1, 1, -1, 256),
+    # non-sublane-aligned widths (the 1080p + reflect-start quarter grid is
+    # 500 wide): same_conv must zero-pad to 8 and mask stats/prologue
+    (3, 3, 1, 1, 0, 125),
+    (2, 2, 1, 1, -1, 125),
 ])
-def test_same_conv_matches_xla(kh, kw, pad_top, pad_left, shift):
+def test_same_conv_matches_xla(kh, kw, pad_top, pad_left, shift, w):
     rng = np.random.default_rng(0)
-    hv, w, cin, cout = 13, 256, 128, 64
+    hv, cin, cout = 13, 128, 64
     hp = fp.front_geometry(hv, kh, pad_top, out_row_shift=shift)
     in_margin = pad_top - shift
     x = np.zeros((hp, w, cin), np.float32)
@@ -47,10 +51,11 @@ def test_same_conv_matches_xla(kh, kw, pad_top, pad_left, shift):
     y, stats = fp.same_conv(jnp.asarray(x), jnp.asarray(wk), jnp.asarray(b),
                             pad_top, pad_left, hv, out_row_shift=shift,
                             interpret=True)
+    assert y.shape[1] % 8 == 0  # output keeps the aligned physical width
     ref = _xla_same_conv(jnp.asarray(x)[in_margin:in_margin + hv],
                          jnp.asarray(wk), jnp.asarray(b),
                          pad_top, pad_left, hv)
-    got = np.asarray(y)[-shift:hv - shift]
+    got = np.asarray(y)[-shift:hv - shift, :w]
     np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-5, atol=1e-5)
     if shift < 0:
         # rows emitted above the logical origin are the next conv's
@@ -63,12 +68,14 @@ def test_same_conv_matches_xla(kh, kw, pad_top, pad_left, shift):
                                (np.asarray(ref) ** 2).sum((0, 1)), rtol=1e-4)
 
 
-def test_same_conv_eff_relu_prologue():
+@pytest.mark.parametrize("w", [128, 52])
+def test_same_conv_eff_relu_prologue(w):
     """The fused affine+ReLU prologue must equal normalizing the input
     first — including keeping the zero padding rows zero (the affine runs
-    post-norm in the reference net, so padding stays pad)."""
+    post-norm in the reference net, so padding stays pad). w=52: the
+    alignment pad columns must also stay zero through the affine."""
     rng = np.random.default_rng(1)
-    hv, w, cin, cout = 9, 128, 128, 64
+    hv, cin, cout = 9, 128, 64
     hp = fp.front_geometry(hv, 2, 1)
     x = np.zeros((hp, w, cin), np.float32)
     x[1:1 + hv] = rng.standard_normal((hv, w, cin))
@@ -83,7 +90,7 @@ def test_same_conv_eff_relu_prologue():
                   np.maximum(x * eff[0] + eff[1], 0.0), 0.0)
     ref = _xla_same_conv(jnp.asarray(xn, jnp.float32)[1:1 + hv],
                          jnp.asarray(wk), jnp.asarray(b), 1, 1, hv)
-    np.testing.assert_allclose(np.asarray(y)[:hv], np.asarray(ref),
+    np.testing.assert_allclose(np.asarray(y)[:hv, :w], np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
 
 

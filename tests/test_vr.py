@@ -131,6 +131,37 @@ def test_vr_driver_runs_two_frames(vr_clip):
     assert cm.shape == (side, 6 * side, 3)
 
 
+def test_vr_driver_pallas_strip_warp_matches_gather(vr_clip):
+    """The Pallas strip-warp geometry (pallas_strip_warp=True, the TPU
+    default) must produce the same face outputs as the gather path — the
+    cross-face blend and border priors are the only consumers of the
+    static warps."""
+    outs = {}
+    for flag, sub in ((False, "g"), (True, "p")):
+        opt = VROptions(
+            input_pattern=str(vr_clip / "f%04d_%d.ppm"),
+            flow_pattern=str(vr_clip / "flow" / "backward_[%d]_{%d}_%d.flo"),
+            occlusions_pattern=str(vr_clip / "flow" / "reliable_[%d]_{%d}_%d.pgm"),
+            output_prefix=str(vr_clip / ("out" + sub) / "o"),
+            num_frames=2,
+            overlap_pixel_w=OVERLAP,
+            overlap_pixel_h=OVERLAP,
+            median_filter=3,
+            pallas_strip_warp=flag,
+        )
+        driver = VRDriver(_echo_engine(), opt)
+        assert driver.run(progress=False) == 12
+        outs[sub] = [
+            io.load_image(str(vr_clip / ("out" + sub) / f"o2_{pos}.png"))
+            for pos in range(6)
+        ]
+    for pos in range(6):
+        # uint8 quantization: allow 1 LSB from f32 rounding differences
+        diff = np.abs(outs["g"][pos].astype(np.int32)
+                      - outs["p"][pos].astype(np.int32))
+        assert diff.max() <= 1, f"face {pos}: max {diff.max()}"
+
+
 def test_vr_border_prior_flows_from_neighbor(vr_clip):
     """Face at position 1 gets its right-strip prior from the face at
     position 0 via the left warp map; with the echo engine the stylized
