@@ -151,27 +151,35 @@ def _strip_kernel(s_ref, p_ref, ridx_ref, wlo_ref, whi_ref, lo_ref, o_ref,
     per-pixel integer rows (one-hot weight plane over a SPAN-row window
     whose 8-aligned start comes from SMEM)."""
     t = pl.program_id(0)
+    sw = s_ref.shape[1]
 
+    # both stages are fori_loops, NOT python loops: Mosaic stack-allocates
+    # every unrolled iteration's (span x woc) temporaries simultaneously,
+    # which blows the 16 MB scoped-vmem limit at production face sizes
+    # (measured: 24 MB ask at 922-px faces)
     @pl.when(t == 0)
     def _():
-        acc = jnp.zeros((hs, woc), jnp.float32)
-        for k in range(p_ref.shape[0]):
-            d = d0 + k
-            sh = (d * c) % s_ref.shape[1]
-            rolled = pltpu.roll(s_ref[...], (-sh) % s_ref.shape[1], 1)
-            acc = acc + p_ref[k][None, :] * rolled[:, :woc]
-        a_scr[...] = acc
+        def cbody(k, acc):
+            sh = ((d0 + k) * c) % sw
+            rolled = pltpu.roll(s_ref[...], (sw - sh) % sw, 1)
+            return acc + p_ref[pl.ds(k, 1)] * rolled[:, :woc]
 
-    rows = []
-    for i in range(tile):
-        lo = lo_ref[t * tile + i]
+        a_scr[...] = jax.lax.fori_loop(
+            0, p_ref.shape[0], cbody, jnp.zeros((hs, woc), jnp.float32))
+
+    def rbody(i, _):
+        # lo is built 8-aligned at factory time ((min//8)*8); Mosaic needs
+        # the static proof for the dynamic VMEM slice
+        lo = pl.multiple_of(lo_ref[t * tile + i], 8)
         win = a_scr[pl.ds(lo, span)]
         rr = jax.lax.broadcasted_iota(jnp.int32, (span, woc), 0)
-        ridx = ridx_ref[i][None, :]
-        wpl = (jnp.where(rr == ridx, wlo_ref[i][None, :], 0.0)
-               + jnp.where(rr == ridx + 1, whi_ref[i][None, :], 0.0))
-        rows.append(jnp.sum(wpl * win, axis=0, keepdims=True))
-    o_ref[...] = jnp.concatenate(rows, axis=0)
+        ridx = ridx_ref[pl.ds(i, 1)]
+        wpl = (jnp.where(rr == ridx, wlo_ref[pl.ds(i, 1)], 0.0)
+               + jnp.where(rr == ridx + 1, whi_ref[pl.ds(i, 1)], 0.0))
+        o_ref[pl.ds(i, 1)] = jnp.sum(wpl * win, axis=0, keepdims=True)
+        return 0
+
+    jax.lax.fori_loop(0, tile, rbody, 0)
 
 
 def make_static_strip_warp(map_np, sentinel: float = 9999.0, tile: int = _TILE,

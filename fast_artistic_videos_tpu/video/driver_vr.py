@@ -80,7 +80,8 @@ class _Geometry:
         # one-hot row resample, ops.warp_pallas.make_static_strip_warp).
         use_pallas = opt.pallas_strip_warp
         if use_pallas is None:
-            use_pallas = jax.default_backend() == "tpu"
+            # any non-CPU backend (incl. the tunneled "axon" TPU platform)
+            use_pallas = jax.devices()[0].platform != "cpu"
 
         def _static(m):
             fn = warp_pallas.make_static_strip_warp(m) if use_pallas else None
