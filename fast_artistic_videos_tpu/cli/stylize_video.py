@@ -55,8 +55,15 @@ def build_engine(opt: StylizeOptions) -> StylizerEngine:
         dtype=opt.dtype,
         exact_warp=opt.exact_warp,
     )
+    # segment-capable apply + split plan enable --feature_reuse (the lossy
+    # high-fps keyframe mode); harmless to wire even when unused
+    plan = stylizer.reuse_split_plan(spec_v)
+    split = None
+    if plan is not None:
+        split = lambda p, x, **kw: stylizer.apply(p, spec_v, x, **kw)  # noqa: E731
     return StylizerEngine(
-        apply_vid, params_v, apply_img, params_img, stride_multiple=stride, config=cfg
+        apply_vid, params_v, apply_img, params_img, stride_multiple=stride,
+        config=cfg, apply_vid_split=split, reuse_plan=plan,
     )
 
 

@@ -49,6 +49,9 @@ def main(argv=None):
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--no_encode", action="store_true")
     p.add_argument("--fps", type=float, default=24.0)
+    p.add_argument("--feature_reuse", type=int, default=0,
+                   help="keyframe interval for the lossy high-fps mode "
+                        "(0 = off; see cli.stylize_video)")
     args = p.parse_args(argv)
 
     if not args.video and not args.frames_dir:
@@ -78,6 +81,7 @@ def main(argv=None):
         "--input_pattern", input_pattern,
         "--output_prefix", out_prefix,
         "--dtype", args.dtype,
+        "--feature_reuse", str(args.feature_reuse),
     ]
     flow_proc = None
     if args.flow_background:

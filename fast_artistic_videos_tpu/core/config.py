@@ -188,6 +188,11 @@ class StylizeOptions:
                                         # level less (speed knob; ~4.6% more
                                         # pixels conservatively flagged)
     flow_device: int = -1               # pin the flow stage to a device index
+    feature_reuse: int = 0              # keyframe interval for the lossy
+                                        # high-fps mode: every Kth frame runs
+                                        # the full net, in-between frames
+                                        # advect the residual-chain features
+                                        # by flow (0/1 = off, exact)
     # evaluation
     evaluate: bool = False
     flow_pattern_eval: str = ""

@@ -765,10 +765,17 @@ def _s2d_conv(x, w, b, ksize: int, pad: int):
 
 
 def apply(params: Params, spec: ModelSpec, x, *, dtype=None, optimize: bool = True,
-          stop_after=None, pallas_conv: bool = False, fused_rblocks=None,
-          fused_front=None):
+          stop_after=None, start_at: int = 0, pallas_conv: bool = False,
+          fused_rblocks=None, fused_front=None):
     """Run the stylizer. x: (N, H, W, in_channels) in preprocessed (VGG)
     space; returns (N, H, W, 3) in VGG space (pre-deprocess).
+
+    start_at=i resumes the net at layer i: x is then the INTERMEDIATE
+    activation after layer i-1 (e.g. a value previously returned with
+    stop_after=i-1) — input reflect-pad and the phase-domain front
+    rewrites are skipped. apply(start_at=k, x=apply(..., stop_after=k-1))
+    composes to the exact full forward (same traced ops), which is what
+    the engine's feature-reuse mode splits on (video/engine.py).
 
     optimize=True enables exact-math graph rewrites for TPU throughput
     (currently: folding nearest-upsample x2 into the following conv —
@@ -799,12 +806,12 @@ def apply(params: Params, spec: ModelSpec, x, *, dtype=None, optimize: bool = Tr
     """
     if dtype is not None:
         x = x.astype(dtype)
-    if spec.input_pad:
+    if spec.input_pad and not start_at:
         x = _pad2d(x, spec.input_pad, "reflect")
     use_in = spec.use_instance_norm
-    start = 0
+    start = start_at
     pre_eff, pre_relu = None, False
-    if (
+    if not start_at and (
         optimize
         and use_in
         and len(spec.layers) >= 2
@@ -1027,3 +1034,24 @@ def build(arch: str = "canonical", in_channels: int = 7, **kw):
 
 def count_params(params: Params) -> int:
     return sum(int(x.size) for x in jax.tree_util.tree_leaves(params))
+
+
+def reuse_split_plan(spec: ModelSpec):
+    """(front_tap, resume_at, crop_per_side) for the engine's feature-reuse
+    mode, or None when the arch doesn't support it.
+
+    The split brackets the maximal contiguous run of residual blocks — the
+    expensive mid-net whose OUTPUT-minus-INPUT delta the reuse mode advects
+    by low-res flow (video/engine.py). crop_per_side is how much the VALID
+    blocks shave the feature grid (2 px/side per reflect-start block), i.e.
+    how to align the front tap with the block output:
+    f_blocks ~= shave(f_front, crop) + delta. Requires front_tap >= 2 so
+    the tap lands after the phase-domain front rewrite (layers 0-1)."""
+    idxs = [i for i, l in enumerate(spec.layers) if l.kind == "res_block"]
+    if not idxs or idxs != list(range(idxs[0], idxs[-1] + 1)):
+        return None
+    if idxs[0] - 1 < 2:
+        return None
+    crop = sum(2 for i in idxs
+               if spec.layers[i].block_padding in ("none", "reflect-start"))
+    return idxs[0] - 1, idxs[-1] + 1, crop

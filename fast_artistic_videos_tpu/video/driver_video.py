@@ -168,6 +168,11 @@ class VideoDriver:
                     last_stylized = _resize_bicubic(last_stylized, scale)
         last_stylized_host: Optional[np.ndarray] = None
         need_host_prev = self.eval_fn is not None
+        # feature-reuse mode (--feature_reuse K): frame t is a keyframe when
+        # K-1 reuse frames have passed since the last full forward
+        reuse_k = opt.feature_reuse if self.engine.supports_feature_reuse else 0
+        delta = None
+        key_age = 0
 
         try:
             for i, item in pipeline.Prefetcher(self._load_inputs, indices):
@@ -182,6 +187,7 @@ class VideoDriver:
                 # temporally consistent scaled pipeline is a deliberate fix.
                 if flow_cert is None or last_stylized is None:
                     stylized = self.engine.stylize_first(content)
+                    delta = None
                 else:
                     flow, cert, *rest = flow_cert
                     band_hint = rest[0] if rest else None
@@ -190,8 +196,19 @@ class VideoDriver:
                         cert = _resize_bicubic(cert[..., None], scale)[..., 0]
                         if band_hint is not None:
                             band_hint = warp.flow_band(band_hint * scale)
-                    stylized = self.engine.stylize_next(content, last_stylized,
-                                                        flow, cert, band_hint)
+                    if reuse_k > 1:
+                        if delta is None or key_age >= reuse_k - 1:
+                            stylized, delta = self.engine.stylize_next_full(
+                                content, last_stylized, flow, cert, band_hint)
+                            key_age = 0
+                        else:
+                            stylized, delta = self.engine.stylize_next_reuse(
+                                content, last_stylized, flow, cert, delta,
+                                band_hint)
+                            key_age += 1
+                    else:
+                        stylized = self.engine.stylize_next(
+                            content, last_stylized, flow, cert, band_hint)
                 out_full = stylized
                 if scale != 1.0:
                     out_full = _resize_bicubic(

@@ -82,13 +82,31 @@ class StylizerEngine:
         params_img=None,
         stride_multiple: int = 4,
         config: EngineConfig = EngineConfig(),
+        apply_vid_split: Optional[Callable] = None,
+        reuse_plan: Optional[Tuple[int, int, int]] = None,
     ):
+        """apply_vid_split + reuse_plan enable the FEATURE-REUSE mode (a
+        capability the reference lacks; in the spirit of NetWarp's
+        representation warping — "Semantic Video CNNs through Representation
+        Warping", PAPERS.md — but advecting only the residual-chain DELTA so
+        occluded regions degrade to the current frame's own front features):
+        keyframes run the full net and capture the residual-chain delta;
+        in-between frames advect that delta by feature-grid flow and
+        recompute only the front and tail (stylize_next_full /
+        stylize_next_reuse).
+
+        apply_vid_split(params, x, *, stop_after=None, start_at=0) must be
+        the segment-capable form of apply_vid (stylizer.apply);
+        reuse_plan = (front_tap, resume_at, crop) from
+        stylizer.reuse_split_plan(spec)."""
         self.apply_vid = apply_vid
         self.params_vid = params_vid
         self.apply_img = apply_img
         self.params_img = params_img
         self.stride_multiple = max(1, stride_multiple)
         self.config = config
+        self.apply_vid_split = apply_vid_split
+        self.reuse_plan = reuse_plan
         self._key = jax.random.PRNGKey(config.seed)
         self._dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
         # Model params are closed over (not traced args): XLA constant-folds
@@ -97,6 +115,15 @@ class StylizerEngine:
         self._jit_first = jax.jit(self._first_impl)
         self._jit_next = jax.jit(self._next_impl, static_argnames=("band",))
         self._jit_prior = jax.jit(self._stylize_with_prior, static_argnames=("erode",))
+        if apply_vid_split is not None and reuse_plan is not None:
+            self._jit_next_full = jax.jit(
+                self._next_full_impl, static_argnames=("band",))
+            self._jit_next_reuse = jax.jit(
+                self._next_reuse_impl, static_argnames=("band", "qband"))
+
+    @property
+    def supports_feature_reuse(self) -> bool:
+        return self.apply_vid_split is not None and self.reuse_plan is not None
 
     # -- device-side implementations ------------------------------------
 
@@ -138,18 +165,65 @@ class StylizerEngine:
         prior_rgb = warp.bilinear_warp(prev_stylized, flow, band=band)
         return self._stylize_with_prior(content, prior_rgb, cert, key)
 
-    def _stylize_with_prior(self, content, prior_rgb, cert, key, erode: bool = False):
-        if erode:
-            cert = filters.min_filter(cert, self.config.occlusions_min_filter)
+    def _assemble(self, content, prior_rgb, cert, key):
+        """The 7-channel stylizer input (content, masked+filled prior,
+        certainty), all in VGG space (core.lua:121-158)."""
         h, w = content.shape[0], content.shape[1]
         cert1 = cert[..., None][None]                       # (1,H,W,1)
         cert3 = jnp.broadcast_to(cert1, (1, h, w, 3))
         c = vgg_preprocess(content.astype(jnp.float32))[None]
         prior = vgg_preprocess(prior_rgb.astype(jnp.float32))[None] * cert3
         prior = prior + self._fill(key, cert3, (1, h, w, 3))
-        x = jnp.concatenate([c, prior, cert1], axis=-1)
+        return jnp.concatenate([c, prior, cert1], axis=-1)
+
+    def _stylize_with_prior(self, content, prior_rgb, cert, key, erode: bool = False):
+        if erode:
+            cert = filters.min_filter(cert, self.config.occlusions_min_filter)
+        x = self._assemble(content, prior_rgb, cert, key)
         y = self._run_model("vid", x)
         return jnp.clip(vgg_deprocess(y[0]), 0.0, 1.0).astype(jnp.float32)
+
+    # -- feature-reuse mode (keyframe + delta advection) -------------------
+
+    def _split(self, x, **kw):
+        return self.apply_vid_split(self.params_vid, x, **kw)
+
+    def _next_full_impl(self, content, prev_stylized, flow, cert, key, band=None):
+        """Keyframe step: the exact _next_impl forward, split at the
+        residual chain to also return delta = f_blocks - shave(f_front) —
+        the advectable 'stylization texture' carried by reuse frames."""
+        cert = filters.min_filter(cert, self.config.occlusions_min_filter)
+        prior_rgb = warp.bilinear_warp(prev_stylized, flow, band=band)
+        x = self._assemble(content, prior_rgb, cert, key)
+        tap, resume, crop = self.reuse_plan
+        f = self._split(x.astype(self._dtype), stop_after=tap)
+        fb = self._split(f, start_at=tap + 1, stop_after=resume - 1)
+        y = self._split(fb, start_at=resume)
+        fc = f[:, crop:f.shape[1] - crop, crop:f.shape[2] - crop, :] if crop else f
+        out = jnp.clip(vgg_deprocess(y[0]), 0.0, 1.0).astype(jnp.float32)
+        return out, (fb.astype(jnp.float32) - fc.astype(jnp.float32))[0]
+
+    def _next_reuse_impl(self, content, prev_stylized, flow, cert, key, delta,
+                         band=None, qband=None):
+        """Reuse step: recompute the front and tail exactly for THIS frame's
+        content, but replace the residual chain with the keyframe's delta
+        warped to this frame by feature-grid flow and masked by (eroded)
+        certainty — occluded regions fall back to the unstylized-texture
+        front features, exactly like the prior image falls back to fill."""
+        cert = filters.min_filter(cert, self.config.occlusions_min_filter)
+        prior_rgb = warp.bilinear_warp(prev_stylized, flow, band=band)
+        x = self._assemble(content, prior_rgb, cert, key)
+        tap, resume, crop = self.reuse_plan
+        f = self._split(x.astype(self._dtype), stop_after=tap)
+        fc = f[:, crop:f.shape[1] - crop, crop:f.shape[2] - crop, :] if crop else f
+        hq, wq = fc.shape[1], fc.shape[2]
+        r = content.shape[0] // hq  # feature-grid downsample factor
+        fq = jnp.mean(flow.reshape(hq, r, wq, r, 2), axis=(1, 3)) / r
+        cq = jnp.min(cert.reshape(hq, r, wq, r), axis=(1, 3))
+        dw = warp.bilinear_warp(delta, fq, band=qband) * cq[..., None]
+        y = self._split(fc + dw[None].astype(fc.dtype), start_at=resume)
+        out = jnp.clip(vgg_deprocess(y[0]), 0.0, 1.0).astype(jnp.float32)
+        return out, dw
 
     # -- host API --------------------------------------------------------
 
@@ -183,12 +257,7 @@ class StylizerEngine:
         out = self._jit_first(jnp.asarray(np.stack(padded)), self._next_key())
         return [out[i, :h, :w] for i in range(len(contents))]
 
-    def stylize_next(self, content, prev_stylized, flow, cert, band_hint=None):
-        """prev_stylized may be the device array returned by a previous
-        stylize_* call — the temporal recurrence then never round-trips
-        through the host. band_hint: warp band already known to cover
-        |flow| (e.g. from the streaming flow provider) — skips the
-        per-frame flow-range readback."""
+    def _prep_next(self, content, prev_stylized, flow, cert, band_hint):
         if self.config.exact_warp:
             band = None
         elif band_hint is not None:
@@ -203,15 +272,45 @@ class StylizerEngine:
         prev_stylized, _ = self._pad(prev_stylized)
         flow, _ = self._pad(flow)
         cert, _ = self._pad(cert, mode="constant")  # padded area = occluded
-        out = self._jit_next(
-            jnp.asarray(content),
-            jnp.asarray(prev_stylized),
-            jnp.asarray(flow),
-            jnp.asarray(cert),
-            self._next_key(),
-            band=band,
-        )
+        args = (jnp.asarray(content), jnp.asarray(prev_stylized),
+                jnp.asarray(flow), jnp.asarray(cert), self._next_key())
+        return args, band, (h, w)
+
+    def stylize_next(self, content, prev_stylized, flow, cert, band_hint=None):
+        """prev_stylized may be the device array returned by a previous
+        stylize_* call — the temporal recurrence then never round-trips
+        through the host. band_hint: warp band already known to cover
+        |flow| (e.g. from the streaming flow provider) — skips the
+        per-frame flow-range readback."""
+        args, band, (h, w) = self._prep_next(
+            content, prev_stylized, flow, cert, band_hint)
+        out = self._jit_next(*args, band=band)
         return out[:h, :w]
+
+    def stylize_next_full(self, content, prev_stylized, flow, cert,
+                          band_hint=None):
+        """Feature-reuse KEYFRAME: exactly stylize_next's math, plus the
+        residual-chain delta as a second return — keep it as the device
+        array it is and hand it to stylize_next_reuse."""
+        args, band, (h, w) = self._prep_next(
+            content, prev_stylized, flow, cert, band_hint)
+        out, delta = self._jit_next_full(*args, band=band)
+        return out[:h, :w], delta
+
+    def stylize_next_reuse(self, content, prev_stylized, flow, cert, delta,
+                           band_hint=None):
+        """Feature-reuse IN-BETWEEN frame: front + tail recomputed, the
+        residual chain replaced by `delta` (from the last keyframe /
+        previous reuse step) advected by feature-grid flow. Returns
+        (frame, advected delta) — pass the delta to the next reuse step."""
+        args, band, (h, w) = self._prep_next(
+            content, prev_stylized, flow, cert, band_hint)
+        qband = None
+        if band is not None:
+            r = max(1, self.stride_multiple)
+            qband = warp.flow_band(band / r)
+        out, delta = self._jit_next_reuse(*args, delta, band=band, qband=qband)
+        return out[:h, :w], delta
 
     def stylize_with_prior(
         self, content: np.ndarray, prior_rgb: np.ndarray, cert: np.ndarray, erode_cert: bool = True

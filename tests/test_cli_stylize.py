@@ -253,3 +253,40 @@ def test_zero_download_demo_pipeline(tmp_path, rng):
     out = io.load_image(str(tmp_path / "out/o-00002.png"))
     assert out.shape == (64, 96, 3)
     assert np.isfinite(out).all()
+
+
+def test_feature_reuse_mode_tracks_exact(tmp_path, rng):
+    """--feature_reuse K (the lossy high-fps mode, no reference
+    equivalent): frame 2 is a keyframe — identical to the exact run by
+    construction — and the reuse frames must stay close to the exact
+    outputs on a smoothly-translating clip."""
+    from fast_artistic_videos_tpu.cli import stylize_video
+
+    base = rng.random((64, 96, 3)).astype(np.float32)
+    for i in range(1, 6):
+        io.save_image(str(tmp_path / f"frame_{i:05d}.ppm"),
+                      np.roll(base, i * 2, axis=1))
+    outs = {}
+    for k_int, sub in ((0, "exact"), (3, "reuse")):
+        rc = stylize_video.main([
+            "--input_pattern", str(tmp_path / "frame_%05d.ppm"),
+            "--model_vid", "demo", "--flow_model", "bundled",
+            "--output_prefix", str(tmp_path / sub / "o"),
+            "--num_frames", "5",
+            "--feature_reuse", str(k_int),
+        ])
+        assert rc == 0
+        outs[sub] = [io.load_image(str(tmp_path / sub / f"o-{i:05d}.png"))
+                     for i in range(1, 6)]
+    # frames 1 (independent) and 2 (keyframe) are the exact computation
+    for i in (0, 1):
+        diff = np.abs(outs["exact"][i].astype(np.int32)
+                      - outs["reuse"][i].astype(np.int32))
+        assert diff.max() <= 1, f"frame {i+1}: max {diff.max()}"
+    # frames 3-4 are reuse frames; frame 5 is the next keyframe (but its
+    # prior comes from a reuse frame, so it differs too). All must stay
+    # close to exact.
+    for i in (2, 3, 4):
+        mae = np.abs(outs["exact"][i].astype(np.float32)
+                     - outs["reuse"][i].astype(np.float32)).mean() / 255.0
+        assert mae < 0.05, f"frame {i+1}: MAE {mae:.4f}"

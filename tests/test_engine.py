@@ -1,3 +1,4 @@
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -100,3 +101,97 @@ def test_stylize_with_prior_vr_entry():
     cert = np.ones((8, 8), np.float32)
     out = eng.stylize_with_prior(content, prior, cert, erode_cert=False)
     np.testing.assert_allclose(out, 0.25, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# feature-reuse mode (keyframe + residual-chain delta advection)
+# ---------------------------------------------------------------------------
+
+def _reuse_engine(seed=0):
+    import jax
+    from fast_artistic_videos_tpu.models import arch_dsl, stylizer
+
+    spec = arch_dsl.parse_arch("canonical", in_channels=7)
+    params = stylizer.init_params(jax.random.PRNGKey(seed), spec)
+    plan = stylizer.reuse_split_plan(spec)
+    assert plan == (2, 8, 10)  # front tap, resume, 5 blocks x 2 px/side
+    return StylizerEngine(
+        lambda p, x: stylizer.apply(p, spec, x),
+        params_vid=params,
+        stride_multiple=spec.total_stride,
+        config=EngineConfig(occlusions_min_filter=3),
+        apply_vid_split=lambda p, x, **kw: stylizer.apply(p, spec, x, **kw),
+        reuse_plan=plan,
+    )
+
+
+def test_feature_reuse_keyframe_matches_exact():
+    """stylize_next_full is the same forward split at the residual chain —
+    it must reproduce stylize_next exactly (same traced ops)."""
+    eng = _reuse_engine()
+    rng = np.random.default_rng(5)
+    content = rng.random((32, 48, 3)).astype(np.float32)
+    prev = rng.random((32, 48, 3)).astype(np.float32)
+    flow = (rng.standard_normal((32, 48, 2)) * 2).astype(np.float32)
+    cert = (rng.random((32, 48)) > 0.2).astype(np.float32)
+    # identical RNG key for the fill in both calls
+    eng._key = jax.random.PRNGKey(7)
+    ref = np.asarray(eng.stylize_next(content, prev, flow, cert))
+    eng._key = jax.random.PRNGKey(7)
+    out, delta = eng.stylize_next_full(content, prev, flow, cert)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+    assert delta.shape == (8, 12, 128)  # quarter grid of the padded frame
+    assert np.isfinite(np.asarray(delta)).all()
+
+
+def test_feature_reuse_static_scene_matches_full():
+    """Zero flow + full certainty + identical inputs: the reuse step's
+    advected delta equals the keyframe delta, so the reuse output must
+    equal the full recompute."""
+    eng = _reuse_engine()
+    rng = np.random.default_rng(6)
+    content = rng.random((32, 48, 3)).astype(np.float32)
+    prev = rng.random((32, 48, 3)).astype(np.float32)
+    flow = np.zeros((32, 48, 2), np.float32)
+    cert = np.ones((32, 48), np.float32)
+    eng._key = jax.random.PRNGKey(3)
+    full, delta = eng.stylize_next_full(content, prev, flow, cert)
+    eng._key = jax.random.PRNGKey(3)
+    out, delta2 = eng.stylize_next_reuse(content, prev, flow, cert, delta)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(full), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(delta2), np.asarray(delta),
+                               atol=1e-5)
+
+
+def test_feature_reuse_translation_tracks_full():
+    """A 4-px horizontal shift (one feature pixel): the advected delta must
+    land where the full recompute puts it — interior outputs stay close
+    (instance-norm stats drift slightly, so tolerance is loose but far
+    below the no-advection error)."""
+    eng = _reuse_engine()
+    rng = np.random.default_rng(8)
+    base = rng.random((32, 64, 3)).astype(np.float32)
+    c1 = base[:, 4:52]
+    c2 = base[:, 0:48]          # camera pans left: content shifts right by 4
+    # backward flow: frame2(x) = frame1(x + dx). c2(x)=base[x]=c1(x-4),
+    # so dx = -4
+    flow = np.zeros((32, 48, 2), np.float32)
+    flow[..., 0] = -4.0
+    cert = np.ones((32, 48), np.float32)
+    prev = rng.random((32, 48, 3)).astype(np.float32)
+
+    eng._key = jax.random.PRNGKey(1)
+    _, delta = eng.stylize_next_full(c1, prev, flow * 0, cert)
+    eng._key = jax.random.PRNGKey(1)
+    full2, _ = eng.stylize_next_full(c2, prev, flow, cert)
+    eng._key = jax.random.PRNGKey(1)
+    reuse2, _ = eng.stylize_next_reuse(c2, prev, flow, cert, delta)
+    eng._key = jax.random.PRNGKey(1)
+    stale2, _ = eng.stylize_next_reuse(c2, prev, flow * 0, cert, delta)
+
+    inner = (slice(6, 26), slice(10, 38))
+    err_adv = np.abs(np.asarray(reuse2)[inner] - np.asarray(full2)[inner]).mean()
+    err_stale = np.abs(np.asarray(stale2)[inner] - np.asarray(full2)[inner]).mean()
+    assert np.isfinite(err_adv)
+    # advecting by the true flow must beat not advecting at all
+    assert err_adv < 0.7 * err_stale, (err_adv, err_stale)
