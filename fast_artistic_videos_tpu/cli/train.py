@@ -38,7 +38,7 @@ def main(argv=None):
     opt = TrainOptions(**kw)
 
     vgg_params = None
-    if opt.loss_network:
+    if opt.loss_network and opt.loss_network != "rgb-pyramid":
         from ..video.evaluation import load_vgg_params
 
         vgg_params = load_vgg_params(opt.loss_network)

@@ -35,6 +35,11 @@ class PerceptualConfig:
     deepdream_layers: Tuple[int, ...] = ()
     deepdream_weights: Tuple[float, ...] = ()
     deepdream_max_grad: float = 100.0
+    # feature extractor: 'vgg' (reference semantics, PerceptualCriterion.lua)
+    # or 'rgb-pyramid' (deterministic multi-scale RGB statistics — the
+    # in-tree loss net for the zero-download environment where the real
+    # VGG-16 weights cannot exist; layer indices are pyramid levels)
+    extractor: str = "vgg"
 
     @property
     def all_layers(self) -> Tuple[int, ...]:
@@ -48,10 +53,43 @@ def _aggregate(feats, agg_type: str):
     return gram_matrix(feats) if agg_type == "gram" else mean_aggregate(feats)
 
 
+def extract_features_rgb_pyramid(params, x, taps):
+    """Parameter-free loss features: at pyramid level L (tap index = L),
+    the 2^L-avg-pooled image concatenated with its horizontal and vertical
+    finite differences (9 channels). Gram over these captures multi-scale
+    color covariance and oriented-edge second moments — a deterministic
+    in-tree substitute for VGG taps where the pretrained weights cannot
+    exist (no egress). `params` is accepted and ignored (extractor
+    interface parity with models.vgg.extract_features)."""
+    taps = tuple(int(t) for t in taps)
+    feats = {}
+    if not taps:
+        return feats
+    cur = x
+    for lvl in range(max(taps) + 1):
+        if lvl > 0:
+            cur = jax.lax.reduce_window(
+                cur, 0.0, jax.lax.add,
+                window_dimensions=(1, 2, 2, 1), window_strides=(1, 2, 2, 1),
+                padding="VALID") * 0.25
+        if lvl in taps:
+            dx = cur[:, :, 1:] - cur[:, :, :-1]
+            dy = cur[:, 1:, :] - cur[:, :-1, :]
+            feats[lvl] = jnp.concatenate([
+                cur[:, :-1, :-1], dx[:, :-1], dy[:, :, :-1]], -1)
+    return feats
+
+
+def _extract(cfg: PerceptualConfig):
+    if cfg.extractor == "rgb-pyramid":
+        return extract_features_rgb_pyramid
+    return vgg.extract_features
+
+
 def style_targets(vgg_params, style_img_pre, cfg: PerceptualConfig) -> List[jnp.ndarray]:
     """Capture pass over the style image ((1, H, W, 3), VGG space) —
     PerceptualCriterion:setStyleTarget."""
-    feats = vgg.extract_features(vgg_params, style_img_pre, cfg.style_layers)
+    feats = _extract(cfg)(vgg_params, style_img_pre, cfg.style_layers)
     return [_aggregate(feats[l], cfg.agg_type) for l in cfg.style_layers]
 
 
@@ -84,10 +122,10 @@ def perceptual_loss(
     """x, content_target: (N, H, W, 3) VGG space. Returns (loss, per_layer)
     where per_layer has 'style-<l>' / 'content-<l>' entries (the reference's
     style_losses/content_losses tables, PerceptualCriterion.lua:137-151)."""
-    feats = vgg.extract_features(vgg_params, x, cfg.all_layers)
-    target_feats = vgg.extract_features(
+    feats = _extract(cfg)(vgg_params, x, cfg.all_layers)
+    target_feats = _extract(cfg)(
         vgg_params, jax.lax.stop_gradient(content_target), cfg.content_layers
-    )
+    ) if cfg.content_layers else {}
     per_layer: Dict[str, jnp.ndarray] = {}
     total = jnp.asarray(0.0, jnp.float32)
     for l, wgt, tgt in zip(cfg.style_layers, cfg.style_weights, style_tgts):

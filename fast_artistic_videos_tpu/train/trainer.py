@@ -85,8 +85,13 @@ class Trainer:
             content_layers=tuple(int(l) for l in content_layers),
             content_weights=tuple(content_weights),
             agg_type=opt.style_target_type,
+            extractor=("rgb-pyramid"
+                       if opt.loss_network == "rgb-pyramid" else "vgg"),
         )
-        if vgg_params is None:
+        if vgg_params is None and self.percep_cfg.extractor == "vgg":
+            # no pretrained weights available: random-init VGG taps (weak
+            # but nonzero style signal; --loss_network rgb-pyramid selects
+            # the deterministic in-tree loss instead)
             self.key, k = jax.random.split(self.key)
             vgg_params = vgg.init_params(k)
         self.vgg_params = vgg_params

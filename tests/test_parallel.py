@@ -215,6 +215,29 @@ def test_flow_stylize_two_device_pipeline(rng):
             "of overlapping")
 
 
+def test_spatial_canonical_reduced(rng):
+    """Canonical arch, 8-way height sharding — the configuration that
+    matters for multi-chip single-stream inference — at a reduced shape so
+    the GSPMD partitioning compile fits the default suite (~49 s on this
+    host; the 1080p-like shape below costs the same compile but is gated
+    for history). Round-2 review flagged that only a toy arch ran
+    ungated."""
+    from fast_artistic_videos_tpu.models import arch_dsl, stylizer
+    from fast_artistic_videos_tpu.parallel import spatial
+
+    spec = arch_dsl.parse_arch("canonical", in_channels=7)
+    params = stylizer.init_params(jax.random.PRNGKey(0), spec)
+    x = jnp.asarray(rng.random((1, 256, 96, 7)), jnp.float32)
+    ref = np.asarray(stylizer.apply(params, spec, x))
+    sp = spatial.SpatialStylizer(
+        lambda p, a: stylizer.apply(p, spec, a), params,
+        mesh=spatial.spatial_mesh(8),
+    )
+    out = sp(x)
+    assert len(out.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-3)
+
+
 def test_spatial_canonical_1080p_like(rng):
     """Canonical arch, 8-way height sharding at a 1080p-like shape.
 

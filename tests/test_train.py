@@ -312,3 +312,44 @@ def test_perceptual_loss_deepdream_and_smoothl1(rng):
     loss, per_layer = losses.perceptual_loss(params, x, x, tgts, cfg)
     assert "deepdream-4" in per_layer
     assert float(per_layer["deepdream-4"]) < 0  # activation maximization
+
+
+def test_rgb_pyramid_extractor_and_loss():
+    """The deterministic in-tree loss net (--loss_network rgb-pyramid):
+    feature shapes halve per level (9 channels: RGB + finite diffs), the
+    style/content losses are zero at the target and differentiable, and a
+    gradient step moves an image's multi-scale gram toward the style's."""
+    from fast_artistic_videos_tpu.train import losses
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((1, 64, 48, 3)), jnp.float32) * 255 - 128
+    feats = losses.extract_features_rgb_pyramid(None, x, (0, 1, 2))
+    assert feats[0].shape == (1, 63, 47, 9)
+    assert feats[1].shape == (1, 31, 23, 9)
+    assert feats[2].shape == (1, 15, 11, 9)
+    # level-0 RGB channels are the (cropped) input itself
+    np.testing.assert_allclose(np.asarray(feats[0][..., :3]),
+                               np.asarray(x[:, :-1, :-1]), atol=1e-6)
+
+    cfg = losses.PerceptualConfig(
+        style_layers=(0, 1, 2), style_weights=(1.0,) * 3,
+        content_layers=(1,), content_weights=(1.0,),
+        extractor="rgb-pyramid")
+    tgts = losses.style_targets(None, x, cfg)
+    loss0, _ = losses.perceptual_loss(None, x, x, tgts, cfg)
+    assert float(loss0) < 1e-3  # self-distance is zero
+
+    style = jnp.asarray(rng.random((1, 64, 48, 3)), jnp.float32) * 255 - 128
+    tgts = losses.style_targets(None, style, cfg)
+
+    def style_only(v):
+        c = losses.PerceptualConfig(style_layers=(0, 1, 2),
+                                    style_weights=(1.0,) * 3,
+                                    content_layers=(), content_weights=(),
+                                    extractor="rgb-pyramid")
+        return losses.perceptual_loss(None, v, v, tgts, c)[0]
+
+    l0 = float(style_only(x))
+    g = jax.grad(style_only)(x)
+    x2 = x - 1e-2 * g
+    assert float(style_only(x2)) < l0  # descent direction is real
