@@ -290,3 +290,54 @@ def test_feature_reuse_mode_tracks_exact(tmp_path, rng):
         mae = np.abs(outs["exact"][i].astype(np.float32)
                      - outs["reuse"][i].astype(np.float32)).mean() / 255.0
         assert mae < 0.05, f"frame {i+1}: MAE {mae:.4f}"
+
+
+def test_demo_model_actually_stylizes():
+    """The zero-download demo's claim is 'stylization', not 'transformation'
+    (round-2 review Weak #5): with a zero prior, the demo checkpoint's
+    output must move substantially TOWARD the bundled candy fixture in
+    RGB-gram distance while changing the input by a real floor and staying
+    unsaturated. The round-2 random-VGG checkpoint failed all three
+    (gram 0.073 -> 0.479 i.e. 6.5x AWAY, mean RGB [1, 1, 0]); the bundled
+    checkpoint is trained by tools/make_demo_checkpoint.py with the
+    deterministic rgb-pyramid loss."""
+    import jax.numpy as jnp
+
+    from fast_artistic_videos_tpu.models import checkpoint, registry, stylizer
+    from fast_artistic_videos_tpu.ops.gram import gram_matrix
+    from fast_artistic_videos_tpu.ops.preprocess import (vgg_deprocess,
+                                                         vgg_preprocess)
+
+    spec, params, _ = checkpoint.load_model("demo")
+    style = io.load_image(registry.style_fixture("candy")).astype(np.float32)
+    h, w = 96, 128
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    content = np.stack([
+        0.3 + 0.5 * xx / w,
+        0.4 + 0.4 * yy / h,
+        0.5 + 0.3 * np.sin(xx / 17.0) * np.cos(yy / 13.0),
+    ], -1).clip(0, 1)
+    content[20:50, 30:70] = np.array([0.15, 0.35, 0.12])
+    content[60:85, 80:115] = np.array([0.7, 0.6, 0.2])
+
+    c = vgg_preprocess(jnp.asarray(content))[None]
+    x = jnp.concatenate([c, jnp.zeros_like(c), jnp.zeros((1, h, w, 1))], -1)
+    out = np.asarray(jnp.clip(vgg_deprocess(stylizer.apply(params, spec, x)[0]),
+                              0, 1))
+
+    def gd(a, b):
+        return float(np.linalg.norm(
+            np.asarray(gram_matrix(jnp.asarray(a)))
+            - np.asarray(gram_matrix(jnp.asarray(b)))))
+
+    d_in = gd(content, style)
+    d_out = gd(out, style)
+    change = float(np.abs(out - content).mean())
+    sat = float(np.mean((out < 1e-3) | (out > 1 - 1e-3)))
+    # calibrated on the retrained checkpoint (tools/make_demo_checkpoint.py
+    # prints these: d_out = 0.61*d_in, change 0.140, sat ~0); bounds leave
+    # real headroom while still failing a round-2-style regression
+    # (d_out was 6.5*d_in, fully saturated)
+    assert d_out < 0.75 * d_in, f"gram distance {d_in:.3f} -> {d_out:.3f}"
+    assert change > 0.02, f"output barely differs from input ({change:.4f})"
+    assert sat < 0.5, f"{sat:.0%} of output pixels saturated"

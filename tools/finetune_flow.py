@@ -1,0 +1,74 @@
+"""Continue the bundled flow weights on a harder curriculum.
+
+Targets the two held-out protocols that are OUT of the current training
+distribution (tests/test_flow_estimator.py gate): 'large' (EPE 1.814,
+pass 0.538) and 'discont' (1.520 / 0.601). Fine-tunes from the bundled
+checkpoint with bigger shifts and more occluding piecewise motion at a
+reduced learning rate, evaluates the held-out protocols before/after, and
+writes the new weights only when every protocol improves or stays within
+2% (no regression trades).
+
+Usage:
+  PYTHONPATH=/root/repo:$PYTHONPATH python tools/finetune_flow.py \
+      [--iterations 20000] [--out /tmp/flow_ft.npz]
+"""
+
+import argparse
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+
+from fast_artistic_videos_tpu.flow import estimator, train as flow_train
+from fast_artistic_videos_tpu.models import registry
+
+
+def report(tag, results):
+    for name, (epe_mean, epe_max, pass_mean, pass_min) in results.items():
+        print(f"{tag} {name:8s} EPE {epe_mean:.3f} (max {epe_max:.2f}) "
+              f"pass {pass_mean:.3f} (min {pass_min:.3f})", flush=True)
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--iterations", type=int, default=20000)
+    p.add_argument("--max_shift", type=float, default=16.0)
+    p.add_argument("--p_discontinuous", type=float, default=0.5)
+    p.add_argument("--learning_rate", type=float, default=5e-5)
+    p.add_argument("--seed", type=int, default=7)
+    p.add_argument("--out", default="/tmp/flow_ft.npz")
+    args = p.parse_args()
+
+    params = estimator.load_params(registry.bundled_flow_weights())
+    before = flow_train.evaluate_heldout(params, size=128, n_cases=4)
+    report("before", before)
+
+    params = flow_train.train_flow_synthetic(
+        iterations=args.iterations,
+        max_shift=args.max_shift,
+        p_discontinuous=args.p_discontinuous,
+        learning_rate=args.learning_rate,
+        seed=args.seed,
+        params=params,
+    )
+    after = flow_train.evaluate_heldout(params, size=128, n_cases=4)
+    report("after", after)
+
+    ok = True
+    for name in before:
+        e0, _, p0, _ = before[name]
+        e1, _, p1, _ = after[name]
+        if e1 > e0 * 1.02 or p1 < p0 - 0.02:
+            print(f"REGRESSION on {name}: EPE {e0:.3f}->{e1:.3f} "
+                  f"pass {p0:.3f}->{p1:.3f}", flush=True)
+            ok = False
+    estimator.save_params(args.out, params)
+    print(("ACCEPT " if ok else "REJECT (saved anyway for inspection) ")
+          + args.out, flush=True)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -130,7 +130,7 @@ def main():
         learning_rate=args.lr,
         dtype="bfloat16",
         checkpoint_name=os.path.join(tmp, "demo"),
-        checkpoint_every=10 ** 9,
+        checkpoint_every=500,
         images_every=10 ** 9,
         num_val_batches=2,
         print_every=100,
