@@ -246,17 +246,19 @@ def test_bundled_flow_weights_accuracy_gate():
     protocol, plus the estimated fwd/bwd pair must pass the reference
     consistency inequality on a floor fraction of non-occluded pixels.
     Calibrated 2026-08 at 128 px under the deterministic (crc32) protocol
-    seeding: smooth 0.755 / large 1.814 / discont 1.520 mean EPE; pass
-    rates 0.728 / 0.538 / 0.601. The eval data is procedural from a fixed
+    seeding, after the round-3 harder-curriculum fine-tune
+    (tools/finetune_flow.py: +20k iters, max_shift 16, p_discont 0.5):
+    smooth 0.682 / large 1.693 / discont 1.441 mean EPE; pass rates
+    0.717 / 0.567 / 0.671. The eval data is procedural from a fixed
     seed, so bounds are ~1.25x calibrated — a real regression fails."""
     from fast_artistic_videos_tpu.flow import train as flow_train
 
     params = estimator.load_params(BUNDLED_FLOW)
     results = flow_train.evaluate_heldout(params, size=128, n_cases=4)
     bounds = {  # (max mean EPE px, min mean consistency pass rate)
-        "smooth": (1.0, 0.58),
-        "large": (2.3, 0.43),
-        "discont": (2.0, 0.48),
+        "smooth": (0.86, 0.57),
+        "large": (2.12, 0.45),
+        "discont": (1.81, 0.54),
     }
     for name, (epe_mean, epe_max, pass_mean, pass_min) in results.items():
         max_epe, min_pass = bounds[name]
