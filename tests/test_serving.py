@@ -98,3 +98,31 @@ def test_pool_streaming_flow_and_reset(model, rng):
     pool.reset(0)
     again = np.asarray(pool.process(0, frames[0]))
     np.testing.assert_allclose(again, first, atol=1e-5)
+
+
+def test_serve_streams_cli(tmp_path, rng):
+    """The serving CLI: two clips in, per-stream stylized sequences out,
+    bundled demo model + bundled flow (zero external files)."""
+    from fast_artistic_videos_tpu.cli import serve_streams
+    from fast_artistic_videos_tpu.core import io
+
+    base = rng.random((64, 96, 3)).astype(np.float32)
+    for s in range(2):
+        d = tmp_path / f"clip{s}"
+        d.mkdir()
+        for t in (1, 2, 3):
+            io.save_image(str(d / f"frame_{t:05d}.ppm"),
+                          np.roll(base, t * 2 + s * 7, axis=1))
+    rc = serve_streams.main([
+        "--model_vid", "demo", "--flow_model", "bundled",
+        "--inputs", ",".join(str(tmp_path / f"clip{s}" / "frame_%05d.ppm")
+                             for s in range(2)),
+        "--output_dir", str(tmp_path / "out"),
+        "--dtype", "float32",
+    ])
+    assert rc == 0
+    for s in range(2):
+        for t in (1, 2, 3):
+            img = io.load_image(str(tmp_path / "out" / f"stream{s}-{t:05d}.png"))
+            assert img.shape == (64, 96, 3)
+            assert np.isfinite(img).all()
