@@ -97,6 +97,7 @@ def main(argv=None):
             flow_scale=opt.flow_scale,
             dtype=jnp.bfloat16 if opt.dtype == "bfloat16" else None,
             coarse_backward=opt.coarse_backward,
+            fast_check=opt.fast_check,
         )
     eval_fn = None
     if opt.evaluate:

@@ -187,6 +187,11 @@ class StylizeOptions:
     coarse_backward: bool = False       # refine the backward direction one
                                         # level less (speed knob; ~4.6% more
                                         # pixels conservatively flagged)
+    fast_check: bool = False            # cross-check direction from a
+                                        # negated-primary init, one refined
+                                        # level (speed knob, ~20% cheaper
+                                        # pair; keeps MORE pixels — ledger
+                                        # in BENCH_NOTES "fast cross-check")
     flow_device: int = -1               # pin the flow stage to a device index
     feature_reuse: int = 0              # keyframe interval for the lossy
                                         # high-fps mode: every Kth frame runs

@@ -137,7 +137,8 @@ def extract_pyramid(params, img):
     return _pyramid(params, img - mean)
 
 
-def refine(params, f1s, f2s, collect: bool = False, skip_finest: int = 0):
+def refine(params, f1s, f2s, collect: bool = False, skip_finest: int = 0,
+           init_flow=None, run_levels: int = None):
     """Coarse-to-fine refinement given two feature pyramids. Returns the
     full-resolution flow (pyramid-input resolution), or — with collect —
     the per-level estimates (coarsest first, level pixel units).
@@ -146,12 +147,24 @@ def refine(params, f1s, f2s, collect: bool = False, skip_finest: int = 0):
     coarser estimate to full resolution — the finest level is ~30% of a
     direction's cost, and a direction that only feeds the consistency
     check (whose mask is 7x7-eroded afterwards) tolerates 2x-coarser
-    boundaries (quality ledger in BENCH_NOTES)."""
+    boundaries (quality ledger in BENCH_NOTES).
+
+    init_flow + run_levels: start refinement at level
+    (skip_finest + run_levels - 1) from `init_flow` (that level's pixel
+    units) instead of zeros at the coarsest — the fast cross-check path
+    initializes the b->a direction from the negated a->b flow and refines
+    a single level (refine_pair fast_check)."""
     flow = None
     outs: List[jnp.ndarray] = []
-    for lvl in reversed(range(skip_finest, len(PYRAMID_CHANNELS))):
+    top = len(PYRAMID_CHANNELS)
+    if run_levels is not None:
+        top = skip_finest + run_levels
+    for lvl in reversed(range(skip_finest, top)):
         f1, f2 = f1s[lvl], f2s[lvl]
-        if flow is None:
+        if flow is None and init_flow is not None:
+            flow = init_flow.astype(jnp.float32)
+            f2w = warp_ops.bilinear_warp(f2, flow, band=WARP_BAND)
+        elif flow is None:
             flow = jnp.zeros(f1.shape[:3] + (2,), jnp.float32)
             f2w = f2
         else:
@@ -348,9 +361,20 @@ class FlowEstimator:
         return fn(tuple(feats_a), tuple(feats_b))
 
     def refine_pair(self, feats_a, feats_b, out_hw, flow_scale: float = 1.0,
-                    with_lowres: bool = False, coarse_backward: bool = False):
+                    with_lowres: bool = False, coarse_backward: bool = False,
+                    fast_check: bool = False):
         """Both flow directions from two cached pyramids, in ONE compiled
         program.
+
+        fast_check=True computes the cross-check (b->a) direction the fast
+        way: initialize pyramid level 1 with the negated-and-self-warped
+        a->b flow (the first-order backward-flow inverse — exact where the
+        field is smooth and invertible, i.e. everywhere except occlusions)
+        and refine ONLY that level. The estimator corrects the init
+        wherever the features disagree, so round-trip failures at true
+        occlusions survive; the warp (a->b) flow is untouched. Takes
+        precedence over coarse_backward. Quality/speed ledger in
+        BENCH_NOTES ("fast cross-check").
 
         coarse_backward=True refines the CROSS-CHECK direction (the second,
         b->a flow — what the streaming provider labels `forward`; it feeds
@@ -373,7 +397,7 @@ class FlowEstimator:
         h, w = out_hw
         skip = 1 if coarse_backward else 0
         key = (tuple(f.shape for f in feats_a), h, w, float(flow_scale),
-               bool(with_lowres), skip)
+               bool(with_lowres), skip, bool(fast_check))
         fn = self._pair_cache.get(key)
         if fn is None:
             if flow_scale != 1.0:
@@ -386,19 +410,31 @@ class FlowEstimator:
                     flow = jax.image.resize(flow, (h, w, 2), "bilinear") / flow_scale
                 return flow
 
-            if with_lowres:
-                def _pair(fa, fb):
+            def _directions(fa, fb):
+                """(low_ab, low_ba) at estimation res, est-res pixel units."""
+                if not fast_check:
                     low_ab = refine(self.params, list(fa), list(fb))[0, :hs, :ws]
                     low_ba = refine(self.params, list(fb), list(fa),
                                     skip_finest=skip)[0, :hs, :ws]
+                    return low_ab, low_ba
+                outs = refine(self.params, list(fa), list(fb), collect=True)
+                low_ab = _upsample2_flow(outs[-1])[0, :hs, :ws]
+                fab1 = outs[len(PYRAMID_CHANNELS) - 2]  # level-1 estimate
+                init = -warp_ops.bilinear_warp(fab1, -fab1, band=WARP_BAND)
+                low_ba = refine(self.params, list(fb), list(fa),
+                                init_flow=init, run_levels=1,
+                                skip_finest=1)[0, :hs, :ws]
+                return low_ab, low_ba
+
+            if with_lowres:
+                def _pair(fa, fb):
+                    low_ab, low_ba = _directions(fa, fb)
                     return (_up(low_ab), low_ab, low_ba,
                             jnp.max(jnp.abs(low_ab)))
             else:
                 def _pair(fa, fb):
-                    flow_ab = _up(refine(self.params, list(fa), list(fb))[0, :hs, :ws])
-                    flow_ba = _up(refine(self.params, list(fb), list(fa),
-                                         skip_finest=skip)[0, :hs, :ws])
-                    return flow_ab, flow_ba, jnp.max(jnp.abs(flow_ab))
+                    low_ab, low_ba = _directions(fa, fb)
+                    return _up(low_ab), _up(low_ba), jnp.max(jnp.abs(low_ab))
 
             fn = jax.jit(_pair)
             self._pair_cache[key] = fn

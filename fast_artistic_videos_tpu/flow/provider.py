@@ -33,7 +33,7 @@ class StreamingFlowProvider:
     def __init__(self, params=None, use_structure: bool = True, device=None,
                  flow_scale: float = 1.0, flow_estimator=None,
                  consistency_at_flow_res: bool = True, dtype=None,
-                 coarse_backward: bool = False):
+                 coarse_backward: bool = False, fast_check: bool = False):
         """flow_scale < 1 estimates flow at reduced resolution and rescales
         (flow at 540p costs ~4x less than 1080p and the consistency mask is
         robust to it); 1.0 = full resolution. Pass a shared `flow_estimator`
@@ -61,6 +61,7 @@ class StreamingFlowProvider:
         self.flow_scale = flow_scale
         self.consistency_at_flow_res = consistency_at_flow_res
         self.coarse_backward = coarse_backward
+        self.fast_check = fast_check
         self._prev_feats = None
         self._pending_maxabs = None
         self.last_band = None
@@ -82,11 +83,13 @@ class StreamingFlowProvider:
             backward, bwd_low, fwd_low, maxabs = self.estimator.refine_pair(
                 feats, prev_feats, frame.shape[:2], self.flow_scale,
                 with_lowres=True, coarse_backward=self.coarse_backward,
+                fast_check=self.fast_check,
             )
         else:
             backward, forward, maxabs = self.estimator.refine_pair(
                 feats, prev_feats, frame.shape[:2], self.flow_scale,
                 coarse_backward=self.coarse_backward,
+                fast_check=self.fast_check,
             )
         # band from the PREVIOUS pair's max |flow| (+1 bucket headroom): its
         # device->host readback has long completed, so this costs nothing,

@@ -358,3 +358,39 @@ def test_streaming_flow_end_to_end_temporal_quality(tmp_path):
         f"streaming-flow temporal error {e_est:.6f} vs GT-flow {e_gt:.6f} "
         f"(ratio {e_est / max(e_gt, 1e-12):.2f}) exceeds the 3.0x contract"
     )
+
+
+def test_fast_check_direction():
+    """refine_pair(fast_check=True): the warp (a->b) flow must be IDENTICAL
+    to the full pair's (only the cross-check direction is approximated),
+    and the resulting consistency mask must agree with the full pair's on
+    a solid majority of pixels. Deterministic held-out smooth-protocol
+    case at 192 px (the regime the ledger validates — the approximation is
+    scale-dependent, its cross-check detail is half-res): measured
+    identity 0.906 (full ledger: ~0.81-0.82 mean across protocols,
+    tools/eval_fast_check.py). Calibrated floor 0.8."""
+    import zlib
+
+    from fast_artistic_videos_tpu.flow import consistency
+    from fast_artistic_videos_tpu.flow.train import (_protocol_field,
+                                                     random_texture_image)
+    from fast_artistic_videos_tpu.ops import warp as warp_ops
+
+    params = estimator.load_params(BUNDLED_FLOW)
+    est = estimator.FlowEstimator(params)
+    size = 192
+    prng = np.random.default_rng(555 + zlib.crc32(b"smooth") % 1000)
+    img2 = random_texture_image(prng, size, size)
+    gt = _protocol_field("smooth", prng, size, size)[None]
+    img1 = np.asarray(warp_ops.bilinear_warp(
+        jnp.asarray(img2)[None], jnp.asarray(gt)))[0]
+    f1 = est.prep(img1, 1.0)
+    f2 = est.prep(img2, 1.0)
+    bwd, fwd, _ = est.refine_pair(f1, f2, (size, size), 1.0)
+    bwd_f, fwd_f, _ = est.refine_pair(f1, f2, (size, size), 1.0,
+                                      fast_check=True)
+    np.testing.assert_allclose(np.asarray(bwd), np.asarray(bwd_f), atol=1e-5)
+    assert np.isfinite(np.asarray(fwd_f)).all()
+    m_full = np.asarray(consistency.consistency_mask(bwd, fwd))
+    m_fast = np.asarray(consistency.consistency_mask(bwd_f, fwd_f))
+    assert (m_full == m_fast).mean() > 0.8
