@@ -72,7 +72,8 @@ def main(argv=None):
         flow_params = flow_estimator.load_params(opt.flow_model)
         batched_flow = BatchedStreamingFlowProvider(
             flow_params, flow_scale=opt.flow_scale,
-            dtype=jnp.bfloat16 if opt.dtype == "bfloat16" else None)
+            dtype=jnp.bfloat16 if opt.dtype == "bfloat16" else None,
+            fast_check=opt.fast_check)
     driver = VRDriver(engine, opt, eval_fn=eval_fn,
                       batched_flow_provider=batched_flow)
     n = driver.run()

@@ -329,16 +329,17 @@ class FlowEstimator:
         return fn(x)
 
     def refine_pair_batch(self, feats_a, feats_b, out_hw,
-                          flow_scale: float = 1.0):
+                          flow_scale: float = 1.0, fast_check: bool = False):
         """Batched streaming pair: both flow directions for N independent
         frame pairs in one program. Returns
         (flow_ab_full (N,H,W,2), flow_ab_low, flow_ba_low, maxabs_low) —
         the flow-res consistency layout of ``refine_pair(with_lowres=True)``
         with a leading batch axis; maxabs_low is the max over the whole
-        batch (one shared band bucket for all faces)."""
+        batch (one shared band bucket for all faces). fast_check as in
+        refine_pair (the VR driver's 6-face flow is the main batch user)."""
         h, w = out_hw
         key = ("batch", tuple(f.shape for f in feats_a), h, w,
-               float(flow_scale))
+               float(flow_scale), bool(fast_check))
         fn = self._pair_cache.get(key)
         if fn is None:
             if flow_scale != 1.0:
@@ -348,8 +349,19 @@ class FlowEstimator:
 
             def _pair(fa, fb):
                 n = fa[0].shape[0]
-                low_ab = refine(self.params, list(fa), list(fb))[:, :hs, :ws]
-                low_ba = refine(self.params, list(fb), list(fa))[:, :hs, :ws]
+                if fast_check:
+                    outs = refine(self.params, list(fa), list(fb),
+                                  collect=True)
+                    low_ab = _upsample2_flow(outs[-1])[:, :hs, :ws]
+                    fab1 = outs[len(PYRAMID_CHANNELS) - 2]
+                    init = -warp_ops.bilinear_warp(fab1, -fab1,
+                                                   band=WARP_BAND)
+                    low_ba = refine(self.params, list(fb), list(fa),
+                                    init_flow=init, run_levels=1,
+                                    skip_finest=1)[:, :hs, :ws]
+                else:
+                    low_ab = refine(self.params, list(fa), list(fb))[:, :hs, :ws]
+                    low_ba = refine(self.params, list(fb), list(fa))[:, :hs, :ws]
                 full = low_ab
                 if (hs, ws) != (h, w):
                     full = jax.image.resize(

@@ -131,7 +131,8 @@ class BatchedStreamingFlowProvider:
     bucket is shared across streams (max |flow| over the batch)."""
 
     def __init__(self, params=None, use_structure: bool = True,
-                 flow_scale: float = 1.0, flow_estimator=None, dtype=None):
+                 flow_scale: float = 1.0, flow_estimator=None, dtype=None,
+                 fast_check: bool = False):
         if flow_estimator is not None:
             self.estimator = flow_estimator
         else:
@@ -141,6 +142,7 @@ class BatchedStreamingFlowProvider:
                 params, dtype=dtype or jnp.float32)
         self.use_structure = use_structure
         self.flow_scale = flow_scale
+        self.fast_check = fast_check
         self._prev_feats = None
         self._pending_maxabs = None
         self.last_band = None
@@ -157,7 +159,8 @@ class BatchedStreamingFlowProvider:
         if prev_feats is None:
             return None
         backward, bwd_low, fwd_low, maxabs = self.estimator.refine_pair_batch(
-            feats, prev_feats, (h, w), self.flow_scale)
+            feats, prev_feats, (h, w), self.flow_scale,
+            fast_check=self.fast_check)
         prev_maxabs, self._pending_maxabs = self._pending_maxabs, maxabs
         try:
             maxabs.copy_to_host_async()

@@ -394,3 +394,27 @@ def test_fast_check_direction():
     m_full = np.asarray(consistency.consistency_mask(bwd, fwd))
     m_fast = np.asarray(consistency.consistency_mask(bwd_f, fwd_f))
     assert (m_full == m_fast).mean() > 0.8
+
+
+def test_fast_check_batched_matches_single(rng):
+    """refine_pair_batch(fast_check=True) must equal per-stream
+    refine_pair(with_lowres=True, fast_check=True) — the VR 6-face path
+    uses the batch form."""
+    params = estimator.init_params(jax.random.PRNGKey(0))
+    est = estimator.FlowEstimator(params)
+    h = w = 64
+    frames1 = rng.random((2, h, w, 3)).astype(np.float32)
+    frames2 = rng.random((2, h, w, 3)).astype(np.float32)
+    fa = est.prep_batch(frames1, 0.5)
+    fb = est.prep_batch(frames2, 0.5)
+    full, low_ab, low_ba, _ = est.refine_pair_batch(
+        fa, fb, (h, w), 0.5, fast_check=True)
+    for i in range(2):
+        sa = est.prep(frames1[i], 0.5)
+        sb = est.prep(frames2[i], 0.5)
+        f_one, ab_one, ba_one, _ = est.refine_pair(
+            sa, sb, (h, w), 0.5, with_lowres=True, fast_check=True)
+        np.testing.assert_allclose(np.asarray(full[i]), np.asarray(f_one),
+                                   atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(low_ba[i]), np.asarray(ba_one),
+                                   atol=1e-4, rtol=1e-4)

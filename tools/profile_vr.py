@@ -48,6 +48,7 @@ def timeit(fn, sync, n=N, trials=3):
 def main():
     face = int(sys.argv[1]) if len(sys.argv) > 1 else 922
     flow_scale = float(sys.argv[2]) if len(sys.argv) > 2 else 0.5
+    fast_check = len(sys.argv) > 3 and sys.argv[3] == "fast_check"
     platform = jax.devices()[0].platform
     n = N if platform != "cpu" else 2
 
@@ -67,7 +68,8 @@ def main():
 
     driver = VRDriver(engine, opt, batched_flow_provider=
                       BatchedStreamingFlowProvider(
-                          flow_scale=flow_scale, flow_estimator=shared_est))
+                          flow_scale=flow_scale, flow_estimator=shared_est,
+                          fast_check=fast_check))
     driver.geo = _Geometry(face, face, opt)
 
     rng = np.random.default_rng(0)
