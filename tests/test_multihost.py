@@ -53,13 +53,15 @@ def _result(proc: subprocess.Popen, timeout=600):
     return json.loads(out.strip().splitlines()[-1])
 
 
+def _world(nproc: int):
+    port = _free_port()
+    procs = [_run(pid, nproc, port) for pid in range(nproc)]
+    return [_result(p) for p in procs]
+
+
 def test_two_process_dp_matches_single_process():
     single = _result(_run(0, 1, _free_port()))
-
-    port = _free_port()
-    p0, p1 = _run(0, 2, port), _run(1, 2, port)
-    r0 = _result(p0)
-    r1 = _result(p1)
+    r0, r1 = _world(2)
 
     # Same global program, same global data: both ranks of one world see
     # the SAME float32 (the psum leaves no room for per-rank drift) ...
@@ -72,3 +74,17 @@ def test_two_process_dp_matches_single_process():
     # +-lr update on near-zero-gradient params — measured 3.7e-5 relative
     # on this program; 1e-4 bounds it without flaking.
     assert abs(single["checksum"] - r0["checksum"]) < 1e-4 * abs(single["checksum"])
+
+
+def test_four_process_dp_matches_single_process():
+    """4 processes x 2 devices: more ranks than the minimal pair — the
+    cross-host all-reduce now spans 4 gloo endpoints (ROADMAP round-4
+    '>2-process run'). Same agreement contract as the 2-process test."""
+    single = _result(_run(0, 1, _free_port()))
+    results = _world(4)
+    bits = {r["loss_bits"] for r in results}
+    assert len(bits) == 1, results  # all ranks bit-identical
+    assert abs(single["loss_bits"] - results[0]["loss_bits"]) <= 4, (
+        single, results[0])  # association headroom grows with endpoints
+    assert (abs(single["checksum"] - results[0]["checksum"])
+            < 1e-4 * abs(single["checksum"]))
