@@ -377,3 +377,33 @@ def test_stylize_vr_video_file_one_command(tmp_path):
         assert img.std() > 0.01
     # per-face intermediates are cleaned up by default
     assert not os.path.exists(os.path.join(out_dir, "out1_0.png"))
+
+
+def test_vr_driver_batched_flow_fast_check(vr_clip):
+    """The VR CLI's --fast_check reaches the batched 6-face provider: the
+    driver must run end-to-end with the fast cross-check direction."""
+    import jax
+
+    from fast_artistic_videos_tpu.flow import estimator
+    from fast_artistic_videos_tpu.flow.provider import (
+        BatchedStreamingFlowProvider)
+
+    params = estimator.init_params(jax.random.PRNGKey(0))
+    opt = VROptions(
+        input_pattern=str(vr_clip / "f%04d_%d.ppm"),
+        output_prefix=str(vr_clip / "outfc" / "o"),
+        num_frames=2,
+        overlap_pixel_w=OVERLAP,
+        overlap_pixel_h=OVERLAP,
+        median_filter=0,
+    )
+    driver = VRDriver(
+        _echo_engine(), opt,
+        batched_flow_provider=BatchedStreamingFlowProvider(
+            params, use_structure=False, fast_check=True),
+    )
+    assert driver.run(progress=False) == 12
+    import os
+
+    for pos in range(6):
+        assert os.path.exists(str(vr_clip / "outfc" / f"o2_{pos}.png"))
