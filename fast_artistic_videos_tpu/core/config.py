@@ -197,7 +197,13 @@ class StylizeOptions:
                                         # high-fps mode: every Kth frame runs
                                         # the full net, in-between frames
                                         # advect the residual-chain features
-                                        # by flow (0/1 = off, exact)
+                                        # by flow (0/1 = off, exact). Pays
+                                        # only when the residual chain
+                                        # outweighs the quarter-grid delta
+                                        # warp — i.e. deeper/wider arches,
+                                        # NOT higher resolution (measured
+                                        # fps-neutral at 1080p AND 4K on the
+                                        # canonical net; BENCH_NOTES)
     # evaluation
     evaluate: bool = False
     flow_pattern_eval: str = ""

@@ -5,9 +5,14 @@ exact step, keyframe step (stylize_next_full), reuse step
 (stylize_next_reuse), and the effective streaming fps at keyframe
 intervals K in {2, 4, 8} (chain = flow + consistency + engine step).
 
-Usage: PYTHONPATH=/root/repo:$PYTHONPATH python tools/profile_feature_reuse.py
+Usage: PYTHONPATH=/root/repo:$PYTHONPATH python tools/profile_feature_reuse.py [H W [N]]
+
+Defaults to 1080p; pass e.g. `2160 3840` to locate the reuse-vs-exact
+crossover at 4K (ROADMAP round-4 lever: blocks scale with area, the
+delta warp with area/16).
 """
 
+import sys
 import time
 
 import numpy as np
@@ -20,8 +25,10 @@ from fast_artistic_videos_tpu.flow import consistency, estimator as fest
 from fast_artistic_videos_tpu.models import arch_dsl, stylizer
 from fast_artistic_videos_tpu.video.engine import EngineConfig, StylizerEngine
 
-H, W = 1080, 1920
-N = 20
+H = int(sys.argv[1]) if len(sys.argv) > 2 else 1080
+W = int(sys.argv[2]) if len(sys.argv) > 2 else 1920
+N = int(sys.argv[3]) if len(sys.argv) > 3 else 20
+FS = float(sys.argv[4]) if len(sys.argv) > 4 else 0.5
 BAND = 32
 
 
@@ -82,8 +89,8 @@ def main():
     out["engine step reuse"] = timeit(
         reuse, lambda: float(jnp.sum(state["y"])))
 
-    # chained flow + consistency + engine step, flow@0.5 (the product path)
-    fs = 0.5
+    # chained flow + consistency + engine step (the product path)
+    fs = FS
     feats_prev = est.prep(frame, fs)
 
     def chain(step):

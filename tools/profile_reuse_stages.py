@@ -4,9 +4,10 @@ Times the three pieces separately at 1080p bf16: front (layers 0-2), tail
 (layers 8-11), and the 128-channel quarter-grid delta warp at several
 bands and dtypes — localizes why reuse (19.2 ms) lost to exact (15.9 ms).
 
-Usage: PYTHONPATH=/root/repo:$PYTHONPATH python tools/profile_reuse_stages.py
+Usage: PYTHONPATH=/root/repo:$PYTHONPATH python tools/profile_reuse_stages.py [H W [N]]
 """
 
+import sys
 import time
 
 import numpy as np
@@ -18,8 +19,9 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
 from fast_artistic_videos_tpu.models import arch_dsl, stylizer
 from fast_artistic_videos_tpu.ops import warp
 
-H, W = 1080, 1920
-N = 20
+H = int(sys.argv[1]) if len(sys.argv) > 2 else 1080
+W = int(sys.argv[2]) if len(sys.argv) > 2 else 1920
+N = int(sys.argv[3]) if len(sys.argv) > 3 else 20
 
 
 def timeit(fn, sync, n=N):
