@@ -31,6 +31,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# XLA for the axon backend compiles CLIENT-side on a 1-core host; the disk
+# cache makes reruns (and the driver's capture run) skip the ~minutes-long
+# cold compile of the streaming-set jits.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+
 from fast_artistic_videos_tpu.flow import consistency, estimator as fest
 from fast_artistic_videos_tpu.models import arch_dsl, stylizer
 from fast_artistic_videos_tpu.ops import filters, warp
