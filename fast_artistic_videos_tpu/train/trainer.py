@@ -545,18 +545,21 @@ def _rng_sidecar_suffix() -> str:
     return ".rng.json" if idx == 0 else f".rng.p{idx}.json"
 
 
-_EVAL_CACHE: Dict[Tuple[int, int, str], callable] = {}
-
-
 def _eval_loss(trainer: Trainer, imgs, flows, certs, key, num_steps, first_mode):
-    cache_key = (id(trainer), num_steps, first_mode)
-    fn = _EVAL_CACHE.get(cache_key)
+    # Cached per trainer INSTANCE (a module-level dict keyed on id(trainer)
+    # can hand a new trainer a stale jit closed over a garbage-collected
+    # trainer's spec once CPython reuses the id).
+    cache = getattr(trainer, "_eval_cache", None)
+    if cache is None:
+        cache = trainer._eval_cache = {}
+    cache_key = (num_steps, first_mode)
+    fn = cache.get(cache_key)
     if fn is None:
         fn = jax.jit(
             functools.partial(trainer._loss_fn, num_steps=num_steps,
                               first_mode=first_mode, all_steps=True)
         )
-        _EVAL_CACHE[cache_key] = fn
+        cache[cache_key] = fn
     loss, (aux, _, _) = fn(
         trainer.params,
         tuple(jnp.asarray(a) for a in imgs),

@@ -250,12 +250,20 @@ class StylizerEngine:
 
     def stylize_batch(self, contents):
         """Stylize N independent frames in one device step (no temporal
-        prior) — the throughput mode for create_inconsistent."""
-        first = contents[0]
-        h, w = first.shape[0], first.shape[1]
-        padded = [np.asarray(self._pad(c)[0]) for c in contents]
+        prior) — the throughput mode for create_inconsistent. Frames may
+        have different sizes: each output is cropped to ITS input's (h, w)
+        (the batch is padded to the largest frame for the device step)."""
+        shapes = [(c.shape[0], c.shape[1]) for c in contents]
+        hm = max(h for h, _ in shapes)
+        wm = max(w for _, w in shapes)
+        hm, wm = _round_up(hm, self.stride_multiple), _round_up(wm, self.stride_multiple)
+        padded = [
+            np.pad(np.asarray(c), ((0, hm - c.shape[0]), (0, wm - c.shape[1]), (0, 0)),
+                   mode="edge")
+            for c in contents
+        ]
         out = self._jit_first(jnp.asarray(np.stack(padded)), self._next_key())
-        return [out[i, :h, :w] for i in range(len(contents))]
+        return [out[i, :h, :w] for i, (h, w) in enumerate(shapes)]
 
     def _prep_next(self, content, prev_stylized, flow, cert, band_hint):
         if self.config.exact_warp:

@@ -195,3 +195,18 @@ def test_feature_reuse_translation_tracks_full():
     assert np.isfinite(err_adv)
     # advecting by the true flow must beat not advecting at all
     assert err_adv < 0.7 * err_stale, (err_adv, err_stale)
+
+
+def test_stylize_batch_mixed_sizes():
+    """Each output is cropped to ITS frame's size (the batch pads to the
+    largest frame) — a mixed-size batch must not inherit frame 0's crop."""
+    eng = make_engine(_content_echo_model, stride=4)
+    rng = np.random.default_rng(7)
+    frames = [rng.random((8, 12, 3)).astype(np.float32),
+              rng.random((16, 8, 3)).astype(np.float32)]
+    outs = eng.stylize_batch(frames)
+    assert outs[0].shape == (8, 12, 3)
+    assert outs[1].shape == (16, 8, 3)
+    for f, o in zip(frames, outs):
+        expect = np.clip(np.asarray(vgg_deprocess(vgg_preprocess(f))), 0, 1)
+        np.testing.assert_allclose(np.asarray(o), expect, atol=1e-5)

@@ -5,7 +5,7 @@ exact step, keyframe step (stylize_next_full), reuse step
 (stylize_next_reuse), and the effective streaming fps at keyframe
 intervals K in {2, 4, 8} (chain = flow + consistency + engine step).
 
-Usage: PYTHONPATH=/root/repo:$PYTHONPATH python tools/profile_feature_reuse.py [H W [N]]
+Usage: PYTHONPATH=/root/repo:$PYTHONPATH python tools/profile_feature_reuse.py [H W [N [FS]]]
 
 Defaults to 1080p; pass e.g. `2160 3840` to locate the reuse-vs-exact
 crossover at 4K (ROADMAP round-4 lever: blocks scale with area, the
@@ -25,6 +25,8 @@ from fast_artistic_videos_tpu.flow import consistency, estimator as fest
 from fast_artistic_videos_tpu.models import arch_dsl, stylizer
 from fast_artistic_videos_tpu.video.engine import EngineConfig, StylizerEngine
 
+if len(sys.argv) == 2 or len(sys.argv) > 5:
+    sys.exit("usage: profile_feature_reuse.py [H W [N [FS]]]  (H and W together)")
 H = int(sys.argv[1]) if len(sys.argv) > 2 else 1080
 W = int(sys.argv[2]) if len(sys.argv) > 2 else 1920
 N = int(sys.argv[3]) if len(sys.argv) > 3 else 20

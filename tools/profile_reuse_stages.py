@@ -1,8 +1,9 @@
 """Stage breakdown of the feature-reuse step on the real chip.
 
-Times the three pieces separately at 1080p bf16: front (layers 0-2), tail
-(layers 8-11), and the 128-channel quarter-grid delta warp at several
-bands and dtypes — localizes why reuse (19.2 ms) lost to exact (15.9 ms).
+Times the three pieces separately in bf16 (defaults to 1080p, resolution
+parameterizable): front (layers 0-2), tail (layers 8-11), and the
+128-channel quarter-grid delta warp at several bands and dtypes —
+localizes why reuse (19.2 ms) lost to exact (15.9 ms) at 1080p.
 
 Usage: PYTHONPATH=/root/repo:$PYTHONPATH python tools/profile_reuse_stages.py [H W [N]]
 """
@@ -19,6 +20,8 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
 from fast_artistic_videos_tpu.models import arch_dsl, stylizer
 from fast_artistic_videos_tpu.ops import warp
 
+if len(sys.argv) == 2 or len(sys.argv) > 4:
+    sys.exit("usage: profile_reuse_stages.py [H W [N]]  (H and W together)")
 H = int(sys.argv[1]) if len(sys.argv) > 2 else 1080
 W = int(sys.argv[2]) if len(sys.argv) > 2 else 1920
 N = int(sys.argv[3]) if len(sys.argv) > 3 else 20
