@@ -1,0 +1,203 @@
+"""Two-level phase-domain (space-to-depth) layout helpers.
+
+The canonical stylizer's 1080p cost is dominated by layout work on
+small-channel full-resolution tensors (BENCH_NOTES round 4: the s2d
+transpose, the 7/3-channel assembly, the tail depth-to-space). The
+phase-resident pipeline keeps every full-resolution tensor in the
+16-phase quarter-resolution layout instead — channels are
+(row_phase(4), col_phase(4), c), the "flat" order that
+``models.stylizer._d2s_level2`` consumes — so the per-frame recurrence
+never materializes a lane-sparse full-res array and the MXU sees
+112-512-wide contractions from the first conv on.
+
+This module holds the layout algebra shared by the engine, the warp and
+the stylizer: the flat-order s2d/d2s pair, the flat<->nested channel
+permutations (the stylizer's phase-kernel builders use the nested
+``_s2d``-composition order), reflect padding computed directly in phase
+space, and the phased form of [nearest-upsample -> 7x7 erode] for the
+certainty mask.
+
+Reference semantics being preserved: input reflect padding
+(models_video.lua:55-140 reflect-start), certainty min-filter
+(fast_artistic_video_core.lua:207, utils.lua:161-169).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def s2d2_flat(x):
+    """(N, H, W, C) -> (N, H/4, W/4, 16C), channels (row_phase(4),
+    col_phase(4), c): out[..., (rp*4+cp)*C + c] = x[n, 4B+rp, 4D+cp, c]."""
+    n, h, w, c = x.shape
+    xs = x.reshape(n, h // 4, 4, w // 4, 4, c).transpose(0, 1, 3, 2, 4, 5)
+    return xs.reshape(n, h // 4, w // 4, 16 * c)
+
+
+def d2s2_flat(y, co: int):
+    """Inverse of :func:`s2d2_flat` (same transpose as
+    ``stylizer._d2s_level2``)."""
+    n, h, w, _ = y.shape
+    y = y.reshape(n, h, w, 4, 4 * co).transpose(0, 1, 3, 2, 4)
+    return y.reshape(n, 4 * h, 4 * w, co)
+
+
+def flat_to_nested_perm(c: int) -> np.ndarray:
+    """Channel permutation P with flat[j] == nested[P[j]].
+
+    "Nested" is the order two chained ``stylizer._s2d`` calls produce:
+    ch = (coarse_rp*2 + coarse_cp)*4c + (fine_rp*2 + fine_cp)*c + i with
+    coarse = (row//2, col//2 parities) and fine = (row%2, col%2); "flat"
+    is (rp*4 + cp)*c + i with rp = row%4. A kernel built for nested
+    input consumes flat input after indexing its in-channel dim with P
+    (w_flat = w_nested[..., P, :] at build time — free)."""
+    perm = np.empty(16 * c, np.int64)
+    for rp in range(4):
+        for cp in range(4):
+            flat = (rp * 4 + cp) * c
+            nested = (((rp >> 1) * 2 + (cp >> 1)) * 4
+                      + ((rp & 1) * 2 + (cp & 1))) * c
+            perm[flat : flat + c] = np.arange(nested, nested + c)
+    return perm
+
+
+def reflect_pad_phased(x, blocks: int):
+    """Reflect-pad a flat-order phased tensor by ``blocks`` blocks per side
+    — exactly ``s2d2_flat(jnp.pad(full, 4*blocks, mode='reflect'))`` without
+    leaving phase space.
+
+    Reflect (edge-excluded, Torch SpatialReflectionPadding semantics)
+    maps virtual row -i to +i; in block/phase terms the padded top block
+    -j takes row-phase 0 from block j and row-phases 1..3 from block j-1
+    phases 3..1 (virtual row -4j+rp = -(4j-rp) -> source 4(j-1)+(4-rp)
+    for rp>0), and symmetrically at the bottom/right edges."""
+    n, h, w, c16 = x.shape
+    co = c16 // 16
+    if blocks <= 0:
+        return x
+    if blocks >= h or blocks >= w:
+        raise ValueError(f"reflect pad of {blocks} blocks needs h,w > blocks")
+    x5 = x.reshape(n, h, w, 4, 4 * co)
+
+    def pad_rows(v, hb):
+        # v: (n, hb, w, 4, 4co); returns (n, hb + 2*blocks, w, 4, 4co)
+        a = v[:, 1 : blocks + 1]        # blocks j = 1..blocks
+        bsrc = v[:, 0:blocks]           # blocks j-1
+        top = jnp.stack(
+            [a[..., 0, :], bsrc[..., 3, :], bsrc[..., 2, :], bsrc[..., 1, :]],
+            axis=3,
+        )[:, ::-1]                      # virtual blocks -1..-blocks -> flip
+        # bottom block hb+J: rp0 <- (hb-1-J, ph2); rp1 <- (hb-1-J, ph1);
+        # rp2 <- (hb-1-J, ph0); rp3 <- (hb-2-J, ph3)
+        src_a = v[:, hb - blocks : hb][:, ::-1]       # hb-1-J, J=0..blocks-1
+        src_b = v[:, hb - blocks - 1 : hb - 1][:, ::-1]  # hb-2-J
+        bot = jnp.stack(
+            [src_a[..., 2, :], src_a[..., 1, :], src_a[..., 0, :],
+             src_b[..., 3, :]],
+            axis=3,
+        )
+        return jnp.concatenate([top, v, bot], axis=1)
+
+    x5 = pad_rows(x5, h)
+    # columns: same algebra on the col-phase dim after a transpose-free
+    # reshape (col phases live inside the trailing 4co group)
+    x6 = x5.reshape(n, h + 2 * blocks, w, 4, 4, co).transpose(0, 2, 4, 1, 3, 5)
+    x6 = x6.reshape(n, w, 4, -1)  # (n, w_blocks, col_phase, rest)
+    v = x6
+
+    a = v[:, 1 : blocks + 1]
+    bsrc = v[:, 0:blocks]
+    left = jnp.stack(
+        [a[:, :, 0], bsrc[:, :, 3], bsrc[:, :, 2], bsrc[:, :, 1]], axis=2
+    )[:, ::-1]
+    src_a = v[:, w - blocks : w][:, ::-1]
+    src_b = v[:, w - blocks - 1 : w - 1][:, ::-1]
+    right = jnp.stack(
+        [src_a[:, :, 2], src_a[:, :, 1], src_a[:, :, 0], src_b[:, :, 3]],
+        axis=2,
+    )
+    v = jnp.concatenate([left, v, right], axis=1)
+    wp = w + 2 * blocks
+    v = v.reshape(n, wp, 4, h + 2 * blocks, 4, co).transpose(0, 3, 1, 4, 2, 5)
+    return v.reshape(n, h + 2 * blocks, wp, 16 * co)
+
+
+def _minpool_1d(x, lo: int, hi: int, axis: int):
+    """min over window [i+lo, i+hi] (inclusive) with index clamping at the
+    borders — the clamped duplicates are idempotent under min, so this
+    equals filters.min_filter's border-clipped windows exactly. Static
+    shifted slices of an edge-padded copy (no gathers)."""
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (max(0, -lo), max(0, hi))
+    xp = jnp.pad(x, pad, mode="edge")
+    out = None
+    size = x.shape[axis]
+    for d in range(lo, hi + 1):
+        start = [0] * x.ndim
+        start[axis] = d - lo
+        lim = list(xp.shape)
+        lim[axis] = d - lo + size
+        t = jax.lax.slice(xp, start, lim)
+        out = t if out is None else jnp.minimum(out, t)
+    return out
+
+
+def eroded_cert_phased(cert_low, r: int, window: int):
+    """Phased form of [nearest-upsample x r -> ``window`` min-filter] for a
+    flow-resolution certainty mask.
+
+    cert_low: (hl, wl) at flow resolution; r in {2, 4} is the nearest
+    upsample ratio to full resolution; window is the odd min-filter size
+    (the engine's occlusions_min_filter, default 7). Returns
+    (hq, wq, 16) flat-order phased certainty at the quarter grid
+    (hq = hl*r/4) — exactly
+    ``s2d2_flat(min_filter(nearest_upsample(cert_low, r), window))``.
+
+    Full-res row y covers low cells (y+d)//r for d in [-(window//2),
+    window//2]; the cell window depends only on y % r, so per row-phase
+    the erosion is a (window//2*2//r+1)-ish tap min at LOW resolution —
+    the full-resolution mask is never materialized."""
+    if r not in (2, 4):
+        raise ValueError("eroded_cert_phased supports r in {2, 4}")
+    k = window // 2
+    hl, wl = cert_low.shape
+
+    # per full-res phase v (v = y % r) the low-cell window is
+    # [(v-k)//r, (v+k)//r]; distinct row variants share one 1-D min pass
+    row_variants = {}
+    for v in range(r):
+        lo, hi = (v - k) // r, (v + k) // r
+        if (lo, hi) not in row_variants:
+            row_variants[(lo, hi)] = _minpool_1d(cert_low, lo, hi, axis=0)
+    col_cache = {}
+
+    def eroded(vy, vx):
+        rl, rh = (vy - k) // r, (vy + k) // r
+        cl, ch = (vx - k) // r, (vx + k) // r
+        key = (rl, rh, cl, ch)
+        if key not in col_cache:
+            col_cache[key] = _minpool_1d(row_variants[(rl, rh)], cl, ch, axis=1)
+        return col_cache[key]
+
+    # full-res phase (rp, cp) of the quarter grid: full row y = 4B + rp maps
+    # to low cell (4B + rp)//r with erosion variant rp % r
+    if r == 4:
+        # low cell is the block itself: channel (rp, cp) = E_{rp, cp}
+        return jnp.stack([eroded(rp, cp) for rp in range(4) for cp in range(4)],
+                         axis=-1)
+    # r == 2: stack the <=4 distinct eroded fields as channels and do ONE
+    # s2d-style block transpose (strided slices of lane-minor tensors are
+    # pathological on TPU, BENCH_NOTES round 4); phased channel (rp, cp) is
+    # then s2d group (rp//2, cp//2) of variant (rp%2, cp%2)
+    stack = jnp.stack([eroded(vy, vx) for vy in range(2) for vx in range(2)],
+                      axis=-1)  # (hl, wl, 4) variants (vy*2+vx)
+    s = stack.reshape(hl // 2, 2, wl // 2, 2, 4).transpose(0, 2, 1, 3, 4)
+    # s: (hq, wq, g_r, g_c, variant); channel (rp, cp) = s[.., rp//2, cp//2,
+    # (rp%2)*2 + (cp%2)]
+    picks = [s[:, :, rp // 2, cp // 2, (rp % 2) * 2 + (cp % 2)]
+             for rp in range(4) for cp in range(4)]
+    return jnp.stack(picks, axis=-1)

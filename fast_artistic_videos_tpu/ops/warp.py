@@ -129,6 +129,81 @@ def _warp_banded_single(img, flow, band: int):
     return out.astype(img.dtype)
 
 
+def _warp_banded_phased(img, flow, band: int):
+    """Banded warp computed entirely in the flat-order 16-phase layout
+    (ops.phase.s2d2_flat): img (hq, wq, 16*co), flow (hq, wq, 16, 2) in
+    (dx, dy) FULL-RES pixel units. Returns the phased warp result —
+    exactly ``s2d2_flat(_warp_banded_single(full_img, full_flow, band))``
+    (each banded pass has <=2 nonzero taps per pixel, so even float
+    accumulation order matches).
+
+    Full-res row 4*B + q + (k - band) lands in phase (q+k-band) % 4 at
+    block B + floor((q+k-band)/4): each tap is a block-shifted slice of
+    one row-phase channel group — no gathers, and every tensor touched
+    is lane-dense (16*co channels) instead of the full-res version's
+    3-channel minor dim."""
+    hq, wq = img.shape[0], img.shape[1]
+    co = img.shape[2] // 16
+    cdt = jnp.promote_types(img.dtype, jnp.float32)
+    bb = -(-band // 4)  # ceil: block halo covering t in [-band, band+4]
+    taps = 2 * band + 2
+    x5 = img.reshape(hq, wq, 4, 4, co)
+
+    def pass_phased(x5, off, row_axis: bool):
+        """off: (hq, wq, 4, 4) fractional offsets; row_axis selects
+        whether phases move along H blocks (True) or W blocks."""
+        base = jnp.floor(off)
+        w0 = (1.0 - (off - base)).astype(cdt)
+        rel = base.astype(jnp.int32) + band
+        axis = 0 if row_axis else 1
+        pad = [(0, 0)] * 5
+        pad[axis] = (bb, bb + 1)
+        xp = jnp.pad(x5, pad)
+        size = hq if row_axis else wq
+        accs = [None] * 4
+        for t in range(-band, band + 5):
+            p, s = t % 4, t // 4
+            start = [0] * 5
+            start[axis] = s + bb
+            lim = list(xp.shape)
+            lim[axis] = s + bb + size
+            if row_axis:
+                start[2], lim[2] = p, p + 1
+            else:
+                start[3], lim[3] = p, p + 1
+            src = jax.lax.slice(xp, start, lim).astype(cdt)
+            src = jnp.squeeze(src, 2 if row_axis else 3)  # (hq, wq, 4, co)
+            for q in range(4):
+                k = t - q + band
+                if not 0 <= k < taps:
+                    continue
+                if row_axis:
+                    w0q, relq = w0[:, :, q, :], rel[:, :, q, :]
+                else:
+                    w0q, relq = w0[:, :, :, q], rel[:, :, :, q]
+                coeff = (jnp.where(relq == k, w0q, 0.0)
+                         + jnp.where(relq == k - 1, 1.0 - w0q, 0.0))
+                term = src * coeff[..., None]
+                accs[q] = term if accs[q] is None else accs[q] + term
+        return jnp.stack(accs, axis=2 if row_axis else 3)
+
+    f4 = flow.reshape(hq, wq, 4, 4, 2)
+    v = pass_phased(x5, f4[..., 1].astype(cdt), row_axis=True)
+    out = pass_phased(v, f4[..., 0].astype(cdt), row_axis=False)
+    return out.reshape(hq, wq, 16 * co).astype(img.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("band",))
+def bilinear_warp_phased(img, flow, band: int):
+    """Phase-resident counterpart of ``bilinear_warp(..., band=band)``:
+    both the image and the flow stay in the flat 16-phase layout
+    (ops.phase.s2d2_flat). img: (hq, wq, 16*co); flow: (hq, wq, 16, 2) or
+    (hq, wq, 32) flat, channels (dx, dy), full-res pixel units."""
+    if flow.ndim == 3 and flow.shape[-1] == 32:
+        flow = flow.reshape(flow.shape[0], flow.shape[1], 16, 2)
+    return _warp_banded_phased(img, flow, band)
+
+
 @functools.partial(jax.jit, static_argnames=("band",))
 def bilinear_warp(img, flow, band: int | None = None):
     """Warp ``img`` by absolute-offset ``flow`` with zero out-of-bounds taps.
