@@ -252,6 +252,69 @@ def _phase_stride2_kernel(w, in_levels: int):
     return done(k)
 
 
+def _fold_vgg_preprocess_kernel(w, b):
+    """Fold VGG preprocessing of content AND prior into the first conv's
+    weights (build-time, exact linear algebra — preprocess.lua:57-71 is
+    affine per channel and the certainty mask distributes onto the prior).
+
+    Raw-channel input contract (the engine's phase-resident step) — EIGHT
+    channels (16 phases x 8 = exactly 128 MXU lanes):
+      0-2  content RGB at 0..255 scale (uint8 values, unpreprocessed)
+      3-5  warped-prior RGB in [0,1], PRE-multiplied by certainty
+      6    certainty in [0,1]
+      7    ones (in-bounds indicator; the conv's zero padding zeroes it
+           outside the frame exactly like the reference's preprocessed
+           input is zero there — folding the content means into the BIAS
+           instead would wrongly apply them at the zero-pad ring)
+    The folded conv equals the original conv on the reference input
+    [vgg_pre(content), vgg_pre(prior)*cert + 0, cert] with the default
+    'vgg-mean' occlusion fill (core.lua:161-171):
+      vgg content ch i = content_bgr_raw_i - mean_i            (raw 0..255)
+      vgg prior   ch i = 255*prior_rgb_bgr_i*cert - mean_i*cert
+    so the mean*cert term folds into the certainty column and the content
+    means into the ones column. Inference-only (params must be concrete)."""
+    from ..ops.preprocess import VGG_MEAN_BGR
+
+    w = np.asarray(w)
+    b = np.asarray(b)
+    if w.shape[2] != 7:
+        raise ValueError("fold_preprocess needs the 7-channel video input")
+    m = VGG_MEAN_BGR
+    wf = np.empty(w.shape[:2] + (8, w.shape[3]), w.dtype)
+    wf[:, :, 0] = w[:, :, 2]          # c_r feeds vgg content channel R
+    wf[:, :, 1] = w[:, :, 1]
+    wf[:, :, 2] = w[:, :, 0]
+    wf[:, :, 3] = 255.0 * w[:, :, 5]  # p_r feeds vgg prior channel R
+    wf[:, :, 4] = 255.0 * w[:, :, 4]
+    wf[:, :, 5] = 255.0 * w[:, :, 3]
+    wf[:, :, 6] = w[:, :, 6] - (
+        m[0] * w[:, :, 3] + m[1] * w[:, :, 4] + m[2] * w[:, :, 5])
+    wf[:, :, 7] = -(m[0] * w[:, :, 0] + m[1] * w[:, :, 1]
+                    + m[2] * w[:, :, 2])
+    return wf, b
+
+
+def supports_phase_io(spec: ModelSpec) -> bool:
+    """True when ``apply`` accepts phase_input/phase_output for this arch:
+    the level-2 phase front must apply (conv s1 SAME + two 3x3 s2 pad-1
+    convs, instance norm) and the input reflect pad must be block-aligned.
+    The caller must also ensure the padded H, W are multiples of 4."""
+    if len(spec.layers) < 3 or not spec.use_instance_norm:
+        return False
+    if spec.input_pad % 4 != 0:
+        return False
+    l0, l1, l2 = spec.layers[0], spec.layers[1], spec.layers[2]
+    return (
+        l0.kind == "conv" and l0.stride == 1 and l0.pad_mode is None
+        and l0.pad == (l0.ksize - 1) // 2 and l0.norm_after and l0.relu_after
+        and l1.kind == "conv" and l1.stride == 2 and l1.ksize == 3
+        and l1.pad == 1 and l1.pad_mode is None
+        and l1.norm_after and l1.relu_after
+        and l2.kind == "conv" and l2.stride == 2 and l2.ksize == 3
+        and l2.pad == 1 and l2.pad_mode is None
+    )
+
+
 def _grouped_instance_norm(y, scale, bias, phases: int, eps: float = 1e-5):
     """Instance norm over a phase-major phased tensor with statistics grouped
     across the phases — exactly the full-resolution statistics, since the
@@ -276,7 +339,8 @@ def _fold_span(ksize: int, pad: int) -> int:
 
 
 def _folded_upsample_conv(x, w, b, ksize: int, pad: int,
-                          phase_in: bool = False, phase_out: bool = False):
+                          phase_in: bool = False, phase_out: bool = False,
+                          skip_d2s: bool = False):
     """Exact rewrite of [nearest-upsample x2 -> k x k stride-1 zero-pad conv]
     as one phase conv at LOW resolution + depth-to-space.
 
@@ -329,7 +393,10 @@ def _folded_upsample_conv(x, w, b, ksize: int, pad: int,
             x, k2.astype(x.dtype), (1, 1), pads2,
             dimension_numbers=_DN, preferred_element_type=x.dtype,
         ) + jnp.tile(b.astype(x.dtype), 16)
-        return _d2s_level2(y, o)
+        # skip_d2s: the (row_phase, col_phase, o) flat-order channels are
+        # exactly ops.phase.s2d2_flat's layout — the phase-resident engine
+        # keeps the recurrence there and never materializes full res
+        return y if skip_d2s else _d2s_level2(y, o)
     if 4 * o <= 16 and ks >= 4 and h % 2 == 0 and ww % 2 == 0:
         # output channels still starve the MXU (e.g. the canonical 9x9 64->3
         # tail folds to a 5x5 64->12): take one more s2d level — a ~3x3 conv
@@ -357,7 +424,8 @@ def _folded_upsample_conv(x, w, b, ksize: int, pad: int,
 
 
 def _phase_front(x, p0, layer0, norm0, p1, spec, levels: int = 1,
-                 norm1=None, p2=None):
+                 norm1=None, p2=None, pre_phased: bool = False,
+                 fold_preprocess: bool = False):
     """Exact phase-domain front end: [conv k s1 (SAME) -> IN -> ReLU ->
     3x3 s2 conv (-> IN -> ReLU -> 3x3 s2 conv)] computed entirely in
     space-to-depth domain.
@@ -376,16 +444,33 @@ def _phase_front(x, p0, layer0, norm0, p1, spec, levels: int = 1,
     it is ever materialized."""
     k0, pad0 = layer0.ksize, layer0.pad
     o0 = p0["w"].shape[-1]
-    w0, pads = p0["w"], ((pad0, pad0), (pad0, pad0))
+    w0, b0, pads = p0["w"], p0["b"], ((pad0, pad0), (pad0, pad0))
+    if fold_preprocess:
+        # inference-only (concrete params): raw-channel input contract,
+        # see _fold_vgg_preprocess_kernel
+        w0, b0 = _fold_vgg_preprocess_kernel(w0, b0)
     xs = x
-    for _ in range(levels):
-        w0, pads = _phase_level_kernel(w0, pads)
-        xs = _s2d(xs)
+    if pre_phased:
+        # x is ALREADY the two-level phased input in FLAT channel order
+        # (ops.phase.s2d2_flat of the reflect-padded full-res input); the
+        # phase kernels below index nested-order channels, so the
+        # flat->nested permutation folds into the kernel at build time.
+        assert levels == 2, "pre_phased input is the two-level flat layout"
+        from ..ops.phase import flat_to_nested_perm
+
+        cin = np.asarray(w0).shape[2]  # 8 when preprocess-folded, else 7
+        for _ in range(2):
+            w0, pads = _phase_level_kernel(w0, pads)
+        w0 = np.asarray(w0)[:, :, flat_to_nested_perm(cin), :]
+    else:
+        for _ in range(levels):
+            w0, pads = _phase_level_kernel(w0, pads)
+            xs = _s2d(xs)
     P = 4 ** levels
     y = jax.lax.conv_general_dilated(
-        xs, w0.astype(x.dtype), (1, 1), pads,
+        xs, jnp.asarray(w0).astype(x.dtype), (1, 1), pads,
         dimension_numbers=_DN, preferred_element_type=x.dtype,
-    ) + jnp.tile(p0["b"].astype(x.dtype), P)
+    ) + jnp.tile(jnp.asarray(b0).astype(x.dtype), P)
     y = _grouped_instance_norm(y, norm0["scale"], norm0["bias"], P)
     y = jax.nn.relu(y)
     # --- stride-2 3x3 pad-1 conv: 2x2 phase kernel, block pad (1, 0)
@@ -766,7 +851,8 @@ def _s2d_conv(x, w, b, ksize: int, pad: int):
 
 def apply(params: Params, spec: ModelSpec, x, *, dtype=None, optimize: bool = True,
           stop_after=None, start_at: int = 0, pallas_conv: bool = False,
-          fused_rblocks=None, fused_front=None):
+          fused_rblocks=None, fused_front=None, phase_input: bool = False,
+          phase_output: bool = False, fold_preprocess: bool = False):
     """Run the stylizer. x: (N, H, W, in_channels) in preprocessed (VGG)
     space; returns (N, H, W, 3) in VGG space (pre-deprocess).
 
@@ -806,12 +892,35 @@ def apply(params: Params, spec: ModelSpec, x, *, dtype=None, optimize: bool = Tr
     """
     if dtype is not None:
         x = x.astype(dtype)
-    if spec.input_pad and not start_at:
-        x = _pad2d(x, spec.input_pad, "reflect")
     use_in = spec.use_instance_norm
     start = start_at
     pre_eff, pre_relu = None, False
-    if not start_at and (
+    tail_phased = False
+    if phase_input:
+        # x is the flat-order 16-phase layout of the ALREADY reflect-padded
+        # full-res input (ops.phase.s2d2_flat); the level-2 phase front
+        # consumes it with no s2d relayout — the phase-resident engine's
+        # front path (BENCH_NOTES round 4).
+        if start_at or not supports_phase_io(spec):
+            raise ValueError("phase_input needs start_at=0 and a "
+                             "supports_phase_io(spec) architecture")
+        x = _phase_front(
+            x, params["layer00"], spec.layers[0], params["layer00_norm"],
+            params["layer01"], spec, levels=2,
+            norm1=params["layer01_norm"], p2=params["layer02"],
+            pre_phased=True, fold_preprocess=fold_preprocess)
+        l2 = spec.layers[2]
+        if l2.norm_after:
+            x = _norm_apply(x, params["layer02_norm"], use_in)
+        if l2.relu_after:
+            x = jax.nn.relu(x)
+        start = 3
+    elif fold_preprocess:
+        raise ValueError("fold_preprocess is part of the phase_input "
+                         "raw-channel contract")
+    if spec.input_pad and not start_at and not phase_input:
+        x = _pad2d(x, spec.input_pad, "reflect")
+    if not phase_input and not start_at and (
         optimize
         and use_in
         and len(spec.layers) >= 2
@@ -971,13 +1080,21 @@ def apply(params: Params, spec: ModelSpec, x, *, dtype=None, optimize: bool = Tr
                     if nxt.relu_after:
                         y = jax.nn.relu(y)
                     p3 = params[f"layer{i+3:02d}"]
+                    skip_d2s = phase_output and (use_in or not l3.norm_after)
                     x = _folded_upsample_conv(
-                        y, p3["w"], p3["b"], l3.ksize, l3.pad, phase_in=True)
+                        y, p3["w"], p3["b"], l3.ksize, l3.pad, phase_in=True,
+                        skip_d2s=skip_d2s)
                     if l3.norm_after:
-                        x = _norm_apply(
-                            x, params[f"layer{i+3:02d}_norm"], use_in)
+                        if skip_d2s:
+                            n3 = params[f"layer{i+3:02d}_norm"]
+                            x = _grouped_instance_norm(
+                                x, n3["scale"], n3["bias"], 16)
+                        else:
+                            x = _norm_apply(
+                                x, params[f"layer{i+3:02d}_norm"], use_in)
                     if l3.relu_after:
                         x = jax.nn.relu(x)
+                    tail_phased = skip_d2s
                     skip_until = i + 3
                     continue
                 x = _folded_upsample_conv(x, pn["w"], pn["b"], nxt.ksize, nxt.pad)
@@ -1016,7 +1133,14 @@ def apply(params: Params, spec: ModelSpec, x, *, dtype=None, optimize: bool = Tr
     # tail stays in the compute dtype (bf16 tanh costs ~1.5 ms less than an
     # f32 upcast at 1080p; output quantization ~0.6/255 is inside the parity
     # budget); callers cast as needed
-    return jnp.tanh(x) * jnp.asarray(spec.tanh_constant, x.dtype)
+    y = jnp.tanh(x) * jnp.asarray(spec.tanh_constant, x.dtype)
+    if phase_output and not tail_phased:
+        # tail could not stay phased (non-foldable arch / small shapes):
+        # honor the contract with an explicit transpose (tanh commutes)
+        from ..ops.phase import s2d2_flat
+
+        y = s2d2_flat(y)
+    return y
 
 
 def build(arch: str = "canonical", in_channels: int = 7, **kw):

@@ -200,3 +200,58 @@ def test_two_level_folded_upsample_conv_exact():
         want = stylizer.conv2d(stylizer.upsample_nearest(x, 2), w, b, 1, 4)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_phase_io_full_forward_parity():
+    """apply(phase_input=True, phase_output=True, fold_preprocess=True) on
+    the raw-channel phased input must reproduce the plain forward on the
+    reference 7-channel input — the phase-resident engine's whole-net
+    contract (no full-res tensor is ever materialized on that path)."""
+    from fast_artistic_videos_tpu import ops
+    from fast_artistic_videos_tpu.ops import phase as phase_ops
+
+    spec = arch_dsl.parse_arch("canonical", in_channels=7)
+    assert stylizer.supports_phase_io(spec)
+    params = stylizer.init_params(jax.random.PRNGKey(6), spec)
+    rng = np.random.default_rng(9)
+    h, w = 48, 64
+    content_u8 = rng.integers(0, 256, (1, h, w, 3)).astype(np.float32)
+    prior = rng.random((1, h, w, 3)).astype(np.float32)
+    cert = (rng.random((1, h, w, 1)) > 0.3).astype(np.float32)
+
+    x_plain = jnp.concatenate([
+        jnp.asarray(ops.vgg_preprocess(content_u8 / 255.0)),
+        jnp.asarray(ops.vgg_preprocess(prior)) * cert,
+        jnp.asarray(cert)], axis=-1)
+    x_raw = jnp.concatenate([
+        jnp.asarray(content_u8), jnp.asarray(prior) * cert,
+        jnp.asarray(cert), jnp.ones((1, h, w, 1))], axis=-1)
+    xp = phase_ops.reflect_pad_phased(
+        phase_ops.s2d2_flat(x_raw), spec.input_pad // 4)
+    assert xp.shape[-1] == 128  # 16 phases x 8 raw channels = full MXU lanes
+
+    with jax.default_matmul_precision("highest"):
+        want = stylizer.apply(params, spec, x_plain)
+        got_p = stylizer.apply(params, spec, xp, phase_input=True,
+                               phase_output=True, fold_preprocess=True)
+    assert got_p.shape == (1, h // 4, w // 4, 48)
+    got = phase_ops.d2s2_flat(got_p, 3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-3, rtol=1e-4)
+
+
+def test_phase_output_fallback_without_fused_tail():
+    """phase_output honors its layout contract even when the tail cannot
+    stay phased (optimize=False): an explicit transpose at the end."""
+    spec = arch_dsl.parse_arch("canonical", in_channels=7)
+    params = stylizer.init_params(jax.random.PRNGKey(6), spec)
+    rng = np.random.default_rng(10)
+    x = jnp.asarray(rng.random((1, 48, 64, 7)), jnp.float32)
+    from fast_artistic_videos_tpu.ops import phase as phase_ops
+
+    with jax.default_matmul_precision("highest"):
+        want = stylizer.apply(params, spec, x, optimize=False)
+        got = stylizer.apply(params, spec, x, optimize=False,
+                             phase_output=True)
+    np.testing.assert_allclose(
+        np.asarray(phase_ops.d2s2_flat(got, 3)), np.asarray(want), atol=0)
