@@ -374,7 +374,7 @@ class FlowEstimator:
 
     def refine_pair(self, feats_a, feats_b, out_hw, flow_scale: float = 1.0,
                     with_lowres: bool = False, coarse_backward: bool = False,
-                    fast_check: bool = False):
+                    fast_check: bool = False, phased_up: bool = False):
         """Both flow directions from two cached pyramids, in ONE compiled
         program.
 
@@ -405,11 +405,16 @@ class FlowEstimator:
         path): (flow_ab_full, flow_ab_low, flow_ba_low, maxabs_low) — only
         the checked direction is upsampled; both directions are also
         returned at the estimation resolution in estimation-res pixel units
-        for the consistency check, and maxabs_low is in those units."""
+        for the consistency check, and maxabs_low is in those units.
+
+        phased_up=True (the phase-resident engine): the full-res checked
+        flow is returned in the flat 16-phase layout (hq, wq, 16, 2)
+        (ops.phase.s2d2_flat of the upsampled flow, computed inside the
+        jit) instead of (H, W, 2). Requires H, W % 4 == 0."""
         h, w = out_hw
         skip = 1 if coarse_backward else 0
         key = (tuple(f.shape for f in feats_a), h, w, float(flow_scale),
-               bool(with_lowres), skip, bool(fast_check))
+               bool(with_lowres), skip, bool(fast_check), bool(phased_up))
         fn = self._pair_cache.get(key)
         if fn is None:
             if flow_scale != 1.0:
@@ -420,6 +425,11 @@ class FlowEstimator:
             def _up(flow):
                 if (hs, ws) != (h, w):
                     flow = jax.image.resize(flow, (h, w, 2), "bilinear") / flow_scale
+                if phased_up:
+                    from ..ops.phase import s2d2_flat
+
+                    return s2d2_flat(flow[None])[0].reshape(
+                        h // 4, w // 4, 16, 2)
                 return flow
 
             def _directions(fa, fb):

@@ -33,7 +33,8 @@ class StreamingFlowProvider:
     def __init__(self, params=None, use_structure: bool = True, device=None,
                  flow_scale: float = 1.0, flow_estimator=None,
                  consistency_at_flow_res: bool = True, dtype=None,
-                 coarse_backward: bool = False, fast_check: bool = False):
+                 coarse_backward: bool = False, fast_check: bool = False,
+                 phased: bool = False):
         """flow_scale < 1 estimates flow at reduced resolution and rescales
         (flow at 540p costs ~4x less than 1080p and the consistency mask is
         robust to it); 1.0 = full resolution. Pass a shared `flow_estimator`
@@ -49,7 +50,13 @@ class StreamingFlowProvider:
         dtype: feature/compute dtype for the estimator (flow values always
         accumulate in f32); bfloat16 is ~10% faster end-to-end with
         measurably identical EPE/pass rates on the held-out protocols
-        (README flow-quality section). None = float32."""
+        (README flow-quality section). None = float32.
+
+        phased=True feeds the phase-resident engine: the returned backward
+        flow is in the flat 16-phase layout (hq, wq, 16, 2) and the
+        certainty mask stays at FLOW resolution (the engine erodes it in
+        phase space). Requires consistency_at_flow_res with flow_scale < 1
+        and frame H, W % 4 == 0."""
         if flow_estimator is not None:
             self.estimator = flow_estimator
         else:
@@ -62,6 +69,10 @@ class StreamingFlowProvider:
         self.consistency_at_flow_res = consistency_at_flow_res
         self.coarse_backward = coarse_backward
         self.fast_check = fast_check
+        self.phased = phased
+        if phased and (not consistency_at_flow_res or flow_scale >= 1.0):
+            raise ValueError("phased provider mode needs "
+                             "consistency_at_flow_res and flow_scale < 1")
         self._prev_feats = None
         self._pending_maxabs = None
         self.last_band = None
@@ -83,7 +94,7 @@ class StreamingFlowProvider:
             backward, bwd_low, fwd_low, maxabs = self.estimator.refine_pair(
                 feats, prev_feats, frame.shape[:2], self.flow_scale,
                 with_lowres=True, coarse_backward=self.coarse_backward,
-                fast_check=self.fast_check,
+                fast_check=self.fast_check, phased_up=self.phased,
             )
         else:
             backward, forward, maxabs = self.estimator.refine_pair(
@@ -109,7 +120,8 @@ class StreamingFlowProvider:
             # maxabs/band are in estimation-res pixel units here; the warp
             # band the engine needs covers the upsampled full-res flow
             cert = consistency.consistency_mask_streaming(
-                bwd_low, fwd_low, image, out_hw=frame.shape[:2], band=band)
+                bwd_low, fwd_low, image,
+                out_hw=None if self.phased else frame.shape[:2], band=band)
             self.last_band = flow_band(band / self.flow_scale)
         else:
             cert = consistency.consistency_mask(backward, forward, image,

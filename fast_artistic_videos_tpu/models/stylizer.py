@@ -185,7 +185,11 @@ def _kbuf(shape, like):
         buf[idx] += val
         return buf
 
-    return zeros, add, arr, jnp.asarray
+    # stay in NUMPY on the concrete path: under an active trace jnp.asarray
+    # would lift the constant into a const-tracer, which downstream
+    # build-time transforms (e.g. the flat->nested channel permutation of
+    # the pre-phased front) can no longer index host-side
+    return zeros, add, arr, (lambda a: a)
 
 
 def _phase_level_kernel(w, pads):

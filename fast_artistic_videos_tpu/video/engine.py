@@ -29,8 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import filters, warp
-from ..ops.preprocess import vgg_preprocess, vgg_deprocess
+from ..ops import filters, phase as phase_ops, warp
+from ..ops.preprocess import VGG_MEAN_BGR, vgg_preprocess, vgg_deprocess
 
 
 class FrameSource(Protocol):
@@ -84,6 +84,8 @@ class StylizerEngine:
         config: EngineConfig = EngineConfig(),
         apply_vid_split: Optional[Callable] = None,
         reuse_plan: Optional[Tuple[int, int, int]] = None,
+        apply_vid_phased: Optional[Callable] = None,
+        phase_pad_blocks: int = 0,
     ):
         """apply_vid_split + reuse_plan enable the FEATURE-REUSE mode (a
         capability the reference lacks; in the spirit of NetWarp's
@@ -107,6 +109,8 @@ class StylizerEngine:
         self.config = config
         self.apply_vid_split = apply_vid_split
         self.reuse_plan = reuse_plan
+        self.apply_vid_phased = apply_vid_phased
+        self.phase_pad_blocks = phase_pad_blocks
         self._key = jax.random.PRNGKey(config.seed)
         self._dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
         # Model params are closed over (not traced args): XLA constant-folds
@@ -120,10 +124,27 @@ class StylizerEngine:
                 self._next_full_impl, static_argnames=("band",))
             self._jit_next_reuse = jax.jit(
                 self._next_reuse_impl, static_argnames=("band", "qband"))
+        if apply_vid_phased is not None:
+            self._jit_next_phased = jax.jit(
+                self._next_phased_impl, static_argnames=("band", "r"))
+            self._jit_to_phased = jax.jit(
+                lambda y: phase_ops.s2d2_flat(y[None])[0])
+            self._jit_phased_to_u8 = jax.jit(self._phased_to_u8_impl)
 
     @property
     def supports_feature_reuse(self) -> bool:
         return self.apply_vid_split is not None and self.reuse_plan is not None
+
+    @property
+    def supports_phase_resident(self) -> bool:
+        """The phase-resident streaming mode: recurrence, warp, certainty
+        erosion and the whole net stay in the 16-phase quarter-res layout
+        (no full-res tensor on the per-frame device path). Requires a
+        phase-io capable video model (stylizer.supports_phase_io), the
+        default 'vgg-mean' fill and the banded warp."""
+        return (self.apply_vid_phased is not None
+                and self.config.fill_occlusions == "vgg-mean"
+                and not self.config.exact_warp)
 
     # -- device-side implementations ------------------------------------
 
@@ -182,6 +203,71 @@ class StylizerEngine:
         x = self._assemble(content, prior_rgb, cert, key)
         y = self._run_model("vid", x)
         return jnp.clip(vgg_deprocess(y[0]), 0.0, 1.0).astype(jnp.float32)
+
+    # -- phase-resident mode ----------------------------------------------
+
+    def _phased_to_u8_impl(self, y):
+        """(hq, wq, 48) f32 RGB [0,1] -> (H, W, 3) uint8: quantize FIRST so
+        the depth-to-space transpose moves uint8 (4x less than f32)."""
+        u = jnp.clip(jnp.round(y * 255.0), 0, 255).astype(jnp.uint8)
+        return phase_ops.d2s2_flat(u[None], 3)[0]
+
+    def _next_phased_impl(self, content, prev_phased, flow_phased, cert_low,
+                          band=None, r=2):
+        """One recurrent step entirely in the flat 16-phase layout.
+
+        content: (H, W, 3) uint8 (or float32 [0,1]) — the ONLY full-res
+        tensor touched, transposed as uint8; prev_phased: (hq, wq, 48)
+        float32 RGB [0,1] (previous step's return); flow_phased:
+        (hq, wq, 16, 2) or (hq, wq, 32) full-res pixel units (the provider's
+        phased output); cert_low: (hl, wl) at flow resolution with
+        r = H // hl in {2, 4}. Semantics identical to _next_impl +
+        nearest-upsampled provider cert (tested)."""
+        cert16 = phase_ops.eroded_cert_phased(
+            cert_low.astype(jnp.float32), r, self.config.occlusions_min_filter)
+        prior = warp.bilinear_warp_phased(prev_phased, flow_phased, band=band)
+        hq, wq = prior.shape[0], prior.shape[1]
+        cp = phase_ops.s2d2_flat(content[None])[0]
+        if content.dtype == jnp.uint8:
+            c5 = cp.reshape(hq, wq, 16, 3).astype(self._dtype)
+        else:
+            c5 = (cp.reshape(hq, wq, 16, 3).astype(jnp.float32)
+                  * 255.0).astype(self._dtype)
+        p5 = (prior.reshape(hq, wq, 16, 3).astype(jnp.float32)
+              * cert16[..., None]).astype(self._dtype)
+        q5 = cert16[..., None].astype(self._dtype)
+        o5 = jnp.ones((hq, wq, 16, 1), self._dtype)
+        x = jnp.concatenate([c5, p5, q5, o5], -1).reshape(1, hq, wq, 16 * 8)
+        x = phase_ops.reflect_pad_phased(x, self.phase_pad_blocks)
+        y = self.apply_vid_phased(self.params_vid, x)
+        # deprocess + clip in phase space; the recurrence carries f32
+        y5 = y[0].reshape(hq, wq, 16, 3).astype(jnp.float32)
+        bgr = (y5 + jnp.asarray(VGG_MEAN_BGR, jnp.float32)) / 255.0
+        return jnp.clip(bgr[..., ::-1], 0.0, 1.0).reshape(hq, wq, 48)
+
+    def to_phased(self, frame):
+        """Full-res (H, W, 3) float32 [0,1] (H, W % 4 == 0) -> the phased
+        recurrence carry (hq, wq, 48). One-time entry conversion (first
+        frame / resume)."""
+        return self._jit_to_phased(jnp.asarray(frame))
+
+    def phased_to_u8(self, y_phased):
+        """Phased recurrence carry -> full-res uint8 frame (device array)
+        for the writer thread."""
+        return self._jit_phased_to_u8(y_phased)
+
+    def stylize_next_phased(self, content, prev_phased, flow_phased,
+                            cert_low, band_hint):
+        """Phase-resident stylize_next. All inputs should already be device
+        arrays (the streaming driver's prefetch uploads content once);
+        band_hint is required (the streaming provider always knows it)."""
+        h = content.shape[0]
+        if h % 4 or content.shape[1] % 4:
+            raise ValueError("phase-resident mode needs H, W % 4 == 0")
+        r = h // cert_low.shape[0]
+        return self._jit_next_phased(
+            jnp.asarray(content), prev_phased, flow_phased, cert_low,
+            band=band_hint, r=r)
 
     # -- feature-reuse mode (keyframe + delta advection) -------------------
 

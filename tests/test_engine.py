@@ -210,3 +210,48 @@ def test_stylize_batch_mixed_sizes():
     for f, o in zip(frames, outs):
         expect = np.clip(np.asarray(vgg_deprocess(vgg_preprocess(f))), 0, 1)
         np.testing.assert_allclose(np.asarray(o), expect, atol=1e-5)
+
+
+def test_phase_resident_step_matches_plain():
+    """The phase-resident step (uint8 content, phased warp, phase-space cert
+    erosion, phase-io net, phased deprocess) must reproduce the plain
+    _next_impl + nearest-upsampled provider cert within float tolerance."""
+    import jax.numpy as jnp
+    from fast_artistic_videos_tpu.models import arch_dsl, stylizer
+    from fast_artistic_videos_tpu.ops import phase as phase_ops
+
+    spec = arch_dsl.parse_arch("canonical", in_channels=7)
+    params = stylizer.init_params(jax.random.PRNGKey(3), spec)
+    apply_vid = lambda p, x: stylizer.apply(p, spec, x)  # noqa: E731
+    apply_phased = lambda p, x: stylizer.apply(  # noqa: E731
+        p, spec, x, phase_input=True, phase_output=True, fold_preprocess=True)
+    eng = StylizerEngine(
+        apply_vid, params, stride_multiple=spec.total_stride,
+        config=EngineConfig(),
+        apply_vid_phased=apply_phased, phase_pad_blocks=spec.input_pad // 4)
+    assert eng.supports_phase_resident
+
+    rng = np.random.default_rng(21)
+    h, w = 48, 64
+    content_u8 = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    prev = rng.random((h, w, 3)).astype(np.float32)
+    cert_low = (rng.random((h // 2, w // 2)) > 0.25).astype(np.float32)
+    flow = ((rng.random((h, w, 2)) - 0.5) * 6).astype(np.float32)
+    band = 8
+
+    with jax.default_matmul_precision("highest"):
+        # plain path: full-res nearest-upsampled cert, banded warp
+        cert_full = np.repeat(np.repeat(cert_low, 2, 0), 2, 1)
+        want = eng.stylize_next(content_u8.astype(np.float32) / 255.0, prev,
+                                flow, cert_full, band_hint=band)
+        got_p = eng.stylize_next_phased(
+            jnp.asarray(content_u8), eng.to_phased(prev),
+            phase_ops.s2d2_flat(jnp.asarray(flow)[None])[0], 
+            jnp.asarray(cert_low), band_hint=band)
+    got = np.asarray(phase_ops.d2s2_flat(jnp.asarray(got_p)[None], 3))[0]
+    np.testing.assert_allclose(got, np.asarray(want), atol=2e-5)
+    # and the writer-path conversion round-trips
+    u8 = np.asarray(eng.phased_to_u8(got_p))
+    assert u8.shape == (h, w, 3) and u8.dtype == np.uint8
+    np.testing.assert_allclose(
+        u8 / 255.0, np.asarray(want), atol=0.5 / 255 + 1e-4)
