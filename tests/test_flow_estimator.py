@@ -269,6 +269,31 @@ def test_bundled_flow_weights_accuracy_gate():
         assert np.isfinite(epe_max)
 
 
+def test_natural_image_fixtures():
+    """The bundled natural-statistics eval fixtures (assets/eval/) load and
+    the sampler yields deterministic, in-range crops — the image_source hook
+    of evaluate_heldout (VERDICT r3 item 4: the reference's FlowNet2 runs on
+    real imagery, README.md:113, so flow quality must be measured on natural
+    statistics, not only procedural textures)."""
+    imgs = [flow_train.natural_image(np.random.default_rng(7), 96, 128)
+            for _ in range(2)]
+    for img in imgs:
+        assert img.shape == (96, 128, 3) and img.dtype == np.float32
+        assert 0.0 <= img.min() and img.max() <= 1.0
+        assert img.std() > 0.02  # a real image crop, not a constant patch
+    # deterministic under the same rng seed
+    again = flow_train.natural_image(np.random.default_rng(7), 96, 128)
+    np.testing.assert_array_equal(imgs[0], again)
+    # the evaluate_heldout hook accepts the source and returns the same
+    # metric tuple structure as the procedural default
+    params = estimator.init_params(jax.random.PRNGKey(0))
+    res = flow_train.evaluate_heldout(
+        params, size=64, n_cases=1, protocols=("smooth",),
+        image_source=flow_train.natural_image)
+    (vals,) = res.values()
+    assert len(vals) == 4 and all(np.isfinite(v) for v in vals)
+
+
 def test_streaming_provider_flow_scale(rng):
     params = estimator.init_params(jax.random.PRNGKey(0))
     provider = StreamingFlowProvider(params, use_structure=False, flow_scale=0.5)
