@@ -46,6 +46,26 @@ def d2s2_flat(y, co: int):
     return y.reshape(n, 4 * h, 4 * w, co)
 
 
+def s2d2_flat_np(x: np.ndarray) -> np.ndarray:
+    """Host (numpy) :func:`s2d2_flat` for one frame: (H, W, C) ->
+    (H/4, W/4, 16C). The streaming drivers run this on the prefetch
+    thread so the device never pays the lane-relayout transpose for the
+    content frame (~3-4 ms/frame at 1080p, BENCH_NOTES round 4) — the
+    upload is the same bytes either way."""
+    h, w, c = x.shape
+    xs = x.reshape(h // 4, 4, w // 4, 4, c).transpose(0, 2, 1, 3, 4)
+    return np.ascontiguousarray(xs).reshape(h // 4, w // 4, 16 * c)
+
+
+def d2s2_flat_np(y: np.ndarray, co: int) -> np.ndarray:
+    """Host (numpy) inverse of :func:`s2d2_flat_np` for one frame:
+    (hq, wq, 16co) -> (4hq, 4wq, co). Runs on the writer thread so the
+    device-side output depth-to-space disappears from the frame loop."""
+    hq, wq = y.shape[0], y.shape[1]
+    y4 = y.reshape(hq, wq, 4, 4 * co).transpose(0, 2, 1, 3)
+    return np.ascontiguousarray(y4).reshape(4 * hq, 4 * wq, co)
+
+
 def flat_to_nested_perm(c: int) -> np.ndarray:
     """Channel permutation P with flat[j] == nested[P[j]].
 
@@ -189,15 +209,69 @@ def eroded_cert_phased(cert_low, r: int, window: int):
         # low cell is the block itself: channel (rp, cp) = E_{rp, cp}
         return jnp.stack([eroded(rp, cp) for rp in range(4) for cp in range(4)],
                          axis=-1)
-    # r == 2: stack the <=4 distinct eroded fields as channels and do ONE
-    # s2d-style block transpose (strided slices of lane-minor tensors are
-    # pathological on TPU, BENCH_NOTES round 4); phased channel (rp, cp) is
-    # then s2d group (rp//2, cp//2) of variant (rp%2, cp%2)
-    stack = jnp.stack([eroded(vy, vx) for vy in range(2) for vx in range(2)],
-                      axis=-1)  # (hl, wl, 4) variants (vy*2+vx)
-    s = stack.reshape(hl // 2, 2, wl // 2, 2, 4).transpose(0, 2, 1, 3, 4)
-    # s: (hq, wq, g_r, g_c, variant); channel (rp, cp) = s[.., rp//2, cp//2,
-    # (rp%2)*2 + (cp%2)]
-    picks = [s[:, :, rp // 2, cp // 2, (rp % 2) * 2 + (cp % 2)]
-             for rp in range(4) for cp in range(4)]
+    # r == 2 (the 1080p flow@0.5 path): every intermediate here must stay
+    # 2-D — any rank-3 tensor with a tiny minor dim (3/4/16) gets its lane
+    # dim padded to 128 by the TPU tiler, which is where the previous
+    # transpose-and-pick formulation lost ~6 ms (BENCH_NOTES round 4).
+    # Rows first: the half-res row window for full row y = 4B + rp is
+    # [(vy-k)//2, (vy+k)//2] around half-row 2B*2+... (vy = rp % 2), an
+    # ordinary clamped 1-D minpool with <=2 distinct variants.
+    row_var = {}
+    for vy in range(2):
+        key = ((vy - k) // 2, (vy + k) // 2)
+        if key not in row_var:
+            row_var[key] = _minpool_1d(cert_low, key[0], key[1], axis=0)
+    rows = {vy: row_var[((vy - k) // 2, (vy + k) // 2)] for vy in range(2)}
+
+    # Columns: decompose each half-col window [2xq + a, 2xq + b] into
+    # column PAIRS of the edge-padded row result, so the only per-variant
+    # ops are contiguous pair-axis shifts and size-2 minor reductions
+    # (whole-pair min / even lane / odd lane via masked min) — no strided
+    # lane picks. Edge padding in half-col space reproduces _minpool_1d's
+    # clamped-window semantics exactly (border duplicates are idempotent
+    # under min).
+    pad_half = 2 * ((k + 3) // 2)
+    wq = wl // 2
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 2), 2)
+    inf = jnp.asarray(jnp.inf, cert_low.dtype)
+
+    def pair_aggregates(r2d):
+        rp2 = jnp.pad(r2d, ((0, 0), (pad_half, pad_half)), mode="edge")
+        r3 = rp2.reshape(hl, (wl + 2 * pad_half) // 2, 2)
+        pm = r3.min(-1)
+        pe = jnp.where(lane == 0, r3, inf).min(-1)
+        po = jnp.where(lane == 1, r3, inf).min(-1)
+        return pm, pe, po
+
+    aggs = {id(v): pair_aggregates(v) for v in row_var.values()}
+    col_cache = {}
+
+    def col_variant(vy, a, b):
+        key = (id(rows[vy]), a, b)
+        if key not in col_cache:
+            pm, pe, po = aggs[id(rows[vy])]
+            ta, tb = a + pad_half, b + pad_half
+            pa, pb = ta // 2, tb // 2
+            terms = []
+            if ta % 2 == 1:
+                terms.append((po, pa))
+                pa += 1
+            if tb % 2 == 0:
+                terms.append((pe, pb))
+                pb -= 1
+            terms.extend((pm, p) for p in range(pa, pb + 1))
+            out = None
+            for t, p in terms:
+                sl = jax.lax.slice(t, (0, p), (hl, p + wq))
+                out = sl if out is None else jnp.minimum(out, sl)
+            col_cache[key] = out  # (hl, wq)
+        return col_cache[key]
+
+    picks = []
+    for rp in range(4):
+        vy, gy = rp % 2, rp // 2
+        for cp in range(4):
+            vx, gx = cp % 2, cp // 2
+            d = col_variant(vy, gx + (vx - k) // 2, gx + (vx + k) // 2)
+            picks.append(d.reshape(hl // 2, 2, wq)[:, gy])
     return jnp.stack(picks, axis=-1)

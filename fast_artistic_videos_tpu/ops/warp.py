@@ -20,6 +20,8 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -133,64 +135,101 @@ def _warp_banded_phased(img, flow, band: int):
     """Banded warp computed entirely in the flat-order 16-phase layout
     (ops.phase.s2d2_flat): img (hq, wq, 16*co), flow (hq, wq, 16, 2) in
     (dx, dy) FULL-RES pixel units. Returns the phased warp result —
-    exactly ``s2d2_flat(_warp_banded_single(full_img, full_flow, band))``
-    (each banded pass has <=2 nonzero taps per pixel, so even float
-    accumulation order matches).
+    ``s2d2_flat(_warp_banded_single(full_img, full_flow, band))`` to
+    within 1-2 ULP (<=2 nonzero taps per pixel; only the compiler's FMA
+    fusion of the tap products differs between the two formulations).
 
-    Full-res row 4*B + q + (k - band) lands in phase (q+k-band) % 4 at
-    block B + floor((q+k-band)/4): each tap is a block-shifted slice of
-    one row-phase channel group — no gathers, and every tensor touched
-    is lane-dense (16*co channels) instead of the full-res version's
-    3-channel minor dim."""
+    A full-res shift by m maps output phase q to source phase (q+m)%4 at
+    block shift (q+m)//4 — a cyclic CHANNEL-GROUP rotation whose wrapped
+    groups read one extra block over. Per residue u = m%4 the rotation is
+    FIXED, so each pass precomputes 4 rotated copies Y_u (a one-hot
+    16co x 16co matmul — the MXU moves channels at full speed where lane
+    shuffles/slices stall the VPU) and then accumulates plain same-axis
+    block shifts of Y_u exactly like the fast full-res banded pass. Two
+    earlier formulations lost to the full-res warp (BENCH_NOTES round 4):
+    per-(shift, phase) slices on a (hq, wq, 4, 4, co) view (tiny minor
+    dims tile-padded to full lanes) and unaligned lane slices + selects
+    on the flat 2-D view (cross-lane rotates that refuse to fuse)."""
     hq, wq = img.shape[0], img.shape[1]
-    co = img.shape[2] // 16
+    C = img.shape[2]
+    co = C // 16
     cdt = jnp.promote_types(img.dtype, jnp.float32)
-    bb = -(-band // 4)  # ceil: block halo covering t in [-band, band+4]
-    taps = 2 * band + 2
-    x5 = img.reshape(hq, wq, 4, 4, co)
+    if flow.ndim == 4:
+        flow = flow.reshape(hq, wq, 32)
+    f4 = flow.reshape(hq, wq, 16, 2)
+    dx = f4[..., 0].astype(cdt)
+    dy = f4[..., 1].astype(cdt)
 
-    def pass_phased(x5, off, row_axis: bool):
-        """off: (hq, wq, 4, 4) fractional offsets; row_axis selects
-        whether phases move along H blocks (True) or W blocks."""
-        base = jnp.floor(off)
-        w0 = (1.0 - (off - base)).astype(cdt)
+    # Expand the per-phase offsets 16 -> 16co ONCE per pass (a one-hot
+    # matmul — the 16->48 broadcast+reshape done per tap was the dominant
+    # cost of the whole warp: 10.4 vs 2.1 ms per 66-tap pass, BENCH_NOTES
+    # round 4); per-tap coefficients are then plain elementwise ops on the
+    # aligned (hq, wq, 16co) shape.
+    expand = np.zeros((16, C), np.float32)
+    for p in range(16):
+        expand[p, p * co:(p + 1) * co] = 1.0
+    expand = jnp.asarray(expand, cdt)
+
+    def prep_off(off):
+        off48 = jnp.matmul(off, expand, precision="highest")
+        base = jnp.floor(off48)
+        w0 = (1.0 - (off48 - base)).astype(cdt)
         rel = base.astype(jnp.int32) + band
-        axis = 0 if row_axis else 1
-        pad = [(0, 0)] * 5
-        pad[axis] = (bb, bb + 1)
-        xp = jnp.pad(x5, pad)
-        size = hq if row_axis else wq
-        accs = [None] * 4
-        for t in range(-band, band + 5):
-            p, s = t % 4, t // 4
-            start = [0] * 5
-            start[axis] = s + bb
-            lim = list(xp.shape)
-            lim[axis] = s + bb + size
-            if row_axis:
-                start[2], lim[2] = p, p + 1
-            else:
-                start[3], lim[3] = p, p + 1
-            src = jax.lax.slice(xp, start, lim).astype(cdt)
-            src = jnp.squeeze(src, 2 if row_axis else 3)  # (hq, wq, 4, co)
-            for q in range(4):
-                k = t - q + band
-                if not 0 <= k < taps:
-                    continue
-                if row_axis:
-                    w0q, relq = w0[:, :, q, :], rel[:, :, q, :]
-                else:
-                    w0q, relq = w0[:, :, :, q], rel[:, :, :, q]
-                coeff = (jnp.where(relq == k, w0q, 0.0)
-                         + jnp.where(relq == k - 1, 1.0 - w0q, 0.0))
-                term = src * coeff[..., None]
-                accs[q] = term if accs[q] is None else accs[q] + term
-        return jnp.stack(accs, axis=2 if row_axis else 3)
+        return w0, rel
 
-    f4 = flow.reshape(hq, wq, 4, 4, 2)
-    v = pass_phased(x5, f4[..., 1].astype(cdt), row_axis=True)
-    out = pass_phased(v, f4[..., 0].astype(cdt), row_axis=False)
-    return out.reshape(hq, wq, 16 * co).astype(img.dtype)
+    def coeff(w0, rel, m):
+        k = m + band
+        return (jnp.where(rel == k, w0, 0.0)
+                + jnp.where(rel == k - 1, 1.0 - w0, 0.0))
+
+    def rot_perms(u, vertical):
+        """One-hot (C, C) matrices: out ch (q, cp, c) <- src ch with the
+        moving phase advanced by u; `wrap` marks outputs whose source sits
+        one block further along the pass axis."""
+        pk = np.zeros((C, C), np.float32)
+        pw = np.zeros((C, C), np.float32)
+        for q in range(4):
+            for cp in range(4):
+                for c in range(co):
+                    j = (q * 4 + cp) * co + c
+                    if vertical:
+                        src, wrap = ((q + u) % 4) * 4 + cp, q + u >= 4
+                    else:
+                        src, wrap = q * 4 + (cp + u) % 4, cp + u >= 4
+                    (pw if wrap else pk)[src * co + c, j] = 1.0
+        return jnp.asarray(pk, cdt), jnp.asarray(pw, cdt)
+
+    def banded_pass(x, off, axis, vertical):
+        n = x.shape[axis]
+        P = band // 4 + 2
+        pad = [(0, 0)] * 3
+        pad[axis] = (P, P + 1)
+        xp = jnp.pad(x.astype(cdt), pad)  # index 0 <-> original -P
+        base = jax.lax.slice_in_dim(xp, 0, n + 2 * P, axis=axis)
+        shift1 = jax.lax.slice_in_dim(xp, 1, n + 2 * P + 1, axis=axis)
+        w0, rel = prep_off(off)
+        acc = jnp.zeros((hq, wq, C), cdt)
+        for u in range(4):
+            if u == 0:
+                y = base  # still carries the P-wide halo
+            else:
+                pk, pw = rot_perms(u, vertical)
+                # one-hot matmuls are exact in f32 (each output is a
+                # single product by 1.0); precision=highest keeps the TPU
+                # from bf16-splitting the values
+                y = (jnp.matmul(base, pk, precision="highest")
+                     + jnp.matmul(shift1, pw, precision="highest"))
+            for m in range(-band, band + 2):
+                if m % 4 != u:
+                    continue
+                sm = (m - u) // 4
+                g = jax.lax.slice_in_dim(y, P + sm, P + sm + n, axis=axis)
+                acc = acc + g * coeff(w0, rel, m)
+        return acc
+
+    v = banded_pass(img, dy, axis=0, vertical=True)
+    out = banded_pass(v, dx, axis=1, vertical=False)
+    return out.astype(img.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("band",))

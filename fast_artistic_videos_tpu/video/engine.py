@@ -116,8 +116,10 @@ class StylizerEngine:
         # Model params are closed over (not traced args): XLA constant-folds
         # the stylizer's weight-layout rewrites (phase-kernel builds) at
         # compile time instead of re-running them every frame.
-        self._jit_first = jax.jit(self._first_impl)
-        self._jit_next = jax.jit(self._next_impl, static_argnames=("band",))
+        self._jit_first = jax.jit(self._first_impl,
+                                  static_argnames=("emit_u8",))
+        self._jit_next = jax.jit(self._next_impl,
+                                 static_argnames=("band", "emit_u8"))
         self._jit_prior = jax.jit(self._stylize_with_prior, static_argnames=("erode",))
         if apply_vid_split is not None and reuse_plan is not None:
             self._jit_next_full = jax.jit(
@@ -157,6 +159,20 @@ class StylizerEngine:
             return vgg_preprocess(rnd) * (1.0 - cert3)
         return jnp.zeros(shape, jnp.float32)
 
+    @staticmethod
+    def _unit_f32(x):
+        """[0,1] float32 from either float or uint8 input — uint8 frames
+        upload 4x less through the host link and convert for free inside
+        the fused step (a separate u8->f32 jit costs a full extra
+        read/write pass of the frame)."""
+        if x.dtype == jnp.uint8:
+            return x.astype(jnp.float32) / 255.0
+        return x.astype(jnp.float32)
+
+    @staticmethod
+    def _quantize_u8(y):
+        return jnp.clip(jnp.round(y * 255.0), 0.0, 255.0).astype(jnp.uint8)
+
     def _run_model(self, which, x):
         """Model forward in the engine's compute dtype; deprocess/clip run in
         that dtype too and only the returned frame is cast to float32."""
@@ -164,10 +180,10 @@ class StylizerEngine:
             return self.apply_img(self.params_img, x.astype(self._dtype))
         return self.apply_vid(self.params_vid, x.astype(self._dtype))
 
-    def _first_impl(self, contents, key):
-        """contents: (N, H, W, 3) RGB [0,1] — independent frames (the
-        create_inconsistent path batches them for throughput)."""
-        c = vgg_preprocess(contents.astype(jnp.float32))
+    def _first_impl(self, contents, key, emit_u8=False):
+        """contents: (N, H, W, 3) RGB [0,1] (or uint8) — independent frames
+        (the create_inconsistent path batches them for throughput)."""
+        c = vgg_preprocess(self._unit_f32(contents))
         if self.apply_img is not None:
             y = self._run_model("img", c)
         else:
@@ -176,15 +192,25 @@ class StylizerEngine:
             fill = self._fill(key, cert3, (n, h, w, 3))
             x = jnp.concatenate([c, fill, jnp.zeros((n, h, w, 1))], axis=-1)
             y = self._run_model("vid", x)
-        return jnp.clip(vgg_deprocess(y), 0.0, 1.0).astype(jnp.float32)
+        out = jnp.clip(vgg_deprocess(y), 0.0, 1.0).astype(jnp.float32)
+        if emit_u8:
+            return out, self._quantize_u8(out)
+        return out
 
-    def _next_impl(self, content, prev_stylized, flow, cert, key, band=None):
-        """content/prev_stylized: (H,W,3) RGB [0,1]; flow: (H,W,2) (dx,dy)
-        mapping frame-i pixels to frame-(i-1) positions (backward flow);
-        cert: (H,W) in [0,1]."""
+    def _next_impl(self, content, prev_stylized, flow, cert, key, band=None,
+                   emit_u8=False):
+        """content/prev_stylized: (H,W,3) RGB [0,1] (content may be uint8);
+        flow: (H,W,2) (dx,dy) mapping frame-i pixels to frame-(i-1)
+        positions (backward flow); cert: (H,W) in [0,1]. emit_u8=True also
+        returns the quantized uint8 frame from the SAME program (the
+        epilogue fuses with the net tail; a separate quantize jit costs a
+        full extra read of the 25 MB float output)."""
         cert = filters.min_filter(cert, self.config.occlusions_min_filter)
         prior_rgb = warp.bilinear_warp(prev_stylized, flow, band=band)
-        return self._stylize_with_prior(content, prior_rgb, cert, key)
+        out = self._stylize_with_prior(content, prior_rgb, cert, key)
+        if emit_u8:
+            return out, self._quantize_u8(out)
+        return out
 
     def _assemble(self, content, prior_rgb, cert, key):
         """The 7-channel stylizer input (content, masked+filled prior,
@@ -192,7 +218,7 @@ class StylizerEngine:
         h, w = content.shape[0], content.shape[1]
         cert1 = cert[..., None][None]                       # (1,H,W,1)
         cert3 = jnp.broadcast_to(cert1, (1, h, w, 3))
-        c = vgg_preprocess(content.astype(jnp.float32))[None]
+        c = vgg_preprocess(self._unit_f32(content))[None]
         prior = vgg_preprocess(prior_rgb.astype(jnp.float32))[None] * cert3
         prior = prior + self._fill(key, cert3, (1, h, w, 3))
         return jnp.concatenate([c, prior, cert1], axis=-1)
@@ -327,11 +353,17 @@ class StylizerEngine:
         return jnp.pad(jnp.asarray(arr), pad,
                        mode="edge" if mode == "edge" else "constant"), (h, w)
 
-    def stylize_first(self, content):
+    def stylize_first(self, content, emit_u8=False):
         """Returns the stylized frame as a DEVICE array (the recurrence
-        carry never leaves the chip; call np.asarray for a host copy)."""
+        carry never leaves the chip; call np.asarray for a host copy).
+        Content may be uint8 (converted in-program). emit_u8=True also
+        returns the quantized uint8 frame from the same fused program."""
         content, (h, w) = self._pad(content)
-        out = self._jit_first(jnp.asarray(content)[None], self._next_key())
+        out = self._jit_first(jnp.asarray(content)[None], self._next_key(),
+                              emit_u8=emit_u8)
+        if emit_u8:
+            y, u8 = out
+            return y[0, :h, :w], u8[0, :h, :w]
         return out[0, :h, :w]
 
     def stylize_batch(self, contents):
@@ -370,15 +402,21 @@ class StylizerEngine:
                 jnp.asarray(flow), jnp.asarray(cert), self._next_key())
         return args, band, (h, w)
 
-    def stylize_next(self, content, prev_stylized, flow, cert, band_hint=None):
+    def stylize_next(self, content, prev_stylized, flow, cert, band_hint=None,
+                     emit_u8=False):
         """prev_stylized may be the device array returned by a previous
         stylize_* call — the temporal recurrence then never round-trips
         through the host. band_hint: warp band already known to cover
         |flow| (e.g. from the streaming flow provider) — skips the
-        per-frame flow-range readback."""
+        per-frame flow-range readback. Content may be uint8; emit_u8=True
+        also returns the quantized uint8 frame from the same fused
+        program (saves a full extra pass over the float output)."""
         args, band, (h, w) = self._prep_next(
             content, prev_stylized, flow, cert, band_hint)
-        out = self._jit_next(*args, band=band)
+        out = self._jit_next(*args, band=band, emit_u8=emit_u8)
+        if emit_u8:
+            y, u8 = out
+            return y[:h, :w], u8[:h, :w]
         return out[:h, :w]
 
     def stylize_next_full(self, content, prev_stylized, flow, cert,

@@ -255,3 +255,30 @@ def test_phase_resident_step_matches_plain():
     assert u8.shape == (h, w, 3) and u8.dtype == np.uint8
     np.testing.assert_allclose(
         u8 / 255.0, np.asarray(want), atol=0.5 / 255 + 1e-4)
+
+
+def test_u8_content_and_emit_u8_match_f32_path():
+    """uint8 content converts in-program and emit_u8 returns the same
+    quantized frame the drivers previously produced with a separate jit
+    (driver_video.py round-4: the epilogue fuses into the step, saving a
+    full extra pass over the float output)."""
+    eng = make_engine(_prior_echo_model)
+    rng = np.random.default_rng(7)
+    content_u8 = rng.integers(0, 256, (8, 10, 3), dtype=np.uint8)
+    content_f = content_u8.astype(np.float32) / 255.0
+    prev = rng.random((8, 10, 3)).astype(np.float32)
+    flow = (rng.random((8, 10, 2)).astype(np.float32) - 0.5) * 3.0
+    cert = (rng.random((8, 10)) > 0.3).astype(np.float32)
+
+    want = eng.stylize_next(content_f, prev, flow, cert)
+    got, got_u8 = eng.stylize_next(content_u8, prev, flow, cert, emit_u8=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-6, rtol=0)
+    expect_u8 = np.clip(np.round(np.asarray(want) * 255.0), 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(np.asarray(got_u8), expect_u8)
+
+    wantf, wantf_u8 = eng.stylize_first(content_f, emit_u8=True)
+    gotf, gotf_u8 = eng.stylize_first(content_u8, emit_u8=True)
+    np.testing.assert_allclose(np.asarray(gotf), np.asarray(wantf),
+                               atol=1e-6, rtol=0)
+    np.testing.assert_array_equal(np.asarray(gotf_u8), np.asarray(wantf_u8))
