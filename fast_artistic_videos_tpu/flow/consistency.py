@@ -178,6 +178,10 @@ def _consistency_streaming_impl(flow1, flow2, image, out_hw,
                                 use_structure: bool, band, rho: float):
     hs, ws = flow1.shape[0], flow1.shape[1]
     h, w = out_hw
+    if image.dtype == jnp.uint8:
+        # uint8 frames upload 4x less; [0,1] scale in-program (free: the
+        # cast fuses into the resize/structure ops)
+        image = image.astype(jnp.float32) / 255.0
     if use_structure and image.shape[:2] != (hs, ws):
         image = jax.image.resize(image, (hs, ws, image.shape[2]), "bilinear")
     mask = _consistency_impl(flow1, flow2, image, use_structure, band, rho)

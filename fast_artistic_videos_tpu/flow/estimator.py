@@ -283,7 +283,10 @@ class FlowEstimator:
             hp, wp = -(-hs // STRIDE) * STRIDE, -(-ws // STRIDE) * STRIDE
 
             def _prep(x):
-                x = x.astype(self._dtype)
+                if x.dtype == jnp.uint8:
+                    x = x.astype(self._dtype) / 255.0
+                else:
+                    x = x.astype(self._dtype)
                 if (hs, ws) != (h, w):
                     x = jax.image.resize(x, (hs, ws, 3), "bilinear")
                 if (hp, wp) != (hs, ws):
@@ -313,7 +316,10 @@ class FlowEstimator:
             hp, wp = -(-hs // STRIDE) * STRIDE, -(-ws // STRIDE) * STRIDE
 
             def _prep(x):
-                x = x.astype(self._dtype)
+                if x.dtype == jnp.uint8:
+                    x = x.astype(self._dtype) / 255.0
+                else:
+                    x = x.astype(self._dtype)
                 if (hs, ws) != (h, w):
                     x = jax.image.resize(x, (n, hs, ws, 3), "bilinear")
                 if (hp, wp) != (hs, ws):

@@ -251,19 +251,29 @@ def train_flow_synthetic(
     log_fn=print,
     log_every: int = 200,
     lr_decay_at: float = 0.7,
+    natural_frac: float = 0.0,
 ):
     """Fully self-contained flow training: a device-resident pool of
     procedural images; per-iteration host traffic is only a few hundred
     bytes of field seeds (everything else — field synthesis, warping, the
-    multiscale loss — runs in one jit). Returns trained params."""
+    multiscale loss — runs in one jit). Returns trained params.
+
+    natural_frac: fraction of the image pool drawn from the bundled
+    natural-statistics fixtures (photographic + terrain crops,
+    :func:`natural_image`) instead of procedural textures — the round-4
+    fix for the estimator's procedural-only training distribution (the
+    reference rides FlowNet2, trained on real imagery)."""
     rng = np.random.default_rng(seed)
     if params is None:
         params = estimator.init_params(jax.random.PRNGKey(seed))
     tx_opt = optax.adam(learning_rate)
     opt_state = tx_opt.init(params)
-    images = jnp.asarray(np.stack([
-        random_texture_image(rng, size, size) for _ in range(pool)
-    ]))
+    n_nat = int(round(pool * natural_frac))
+    pool_imgs = [natural_image(rng, size, size) for _ in range(n_nat)]
+    pool_imgs += [random_texture_image(rng, size, size)
+                  for _ in range(pool - n_nat)]
+    rng.shuffle(pool_imgs)
+    images = jnp.asarray(np.stack(pool_imgs))
 
     # every iteration's randomness is pregenerated and uploaded ONCE: through
     # the axon tunnel each small per-iteration upload costs a full RTT, which

@@ -79,15 +79,16 @@ class VideoDriver:
         return io.load_image(path)
 
     def load_frame_device(self, i: int):
-        """Frame i as a DEVICE float32 array, uploaded as uint8 (4x less
-        tunnel traffic) and converted on device. This single upload is shared
-        by the flow provider (pyramid + consistency structure image) and the
-        stylizer engine; it happens on the prefetch thread, overlapped with
-        the previous frame's compute."""
+        """Frame i as a DEVICE uint8 array (4x less tunnel traffic than
+        float32). This single upload is shared by the flow provider
+        (pyramid + consistency structure image) and the stylizer engine —
+        both convert to [0,1] float INSIDE their fused programs, so no
+        separate u8->f32 pass ever runs (BENCH_NOTES round 4). Uploaded on
+        the prefetch thread, overlapped with the previous frame's compute."""
         path = self._frame_path(i)
         if not os.path.exists(path):
             return None
-        return _u8_to_f32(jnp.asarray(io.load_image_u8(path)))
+        return jnp.asarray(io.load_image_u8(path))
 
     def load_flow_cert(self, i: int):
         opt = self.opt
@@ -174,19 +175,29 @@ class VideoDriver:
         delta = None
         key_age = 0
 
+        # fused-u8 fast path: unscaled, non-reuse frames come back from the
+        # SAME device program as both the f32 recurrence carry and the
+        # quantized uint8 output (saves a full extra pass over the float
+        # frame per step vs the old separate _f32_to_u8 jit)
+        fused_u8 = scale == 1.0 and reuse_k <= 1
         try:
             for i, item in pipeline.Prefetcher(self._load_inputs, indices):
                 frame, flow_cert = item
                 t0 = time.monotonic()
                 content = frame
+                out_u8 = None
                 if scale != 1.0:
-                    content = _resize_bicubic(frame, scale)
+                    content = _resize_bicubic(_u8_to_f32(frame), scale)
                 # NOTE: the recurrence is carried at PROCESS resolution; the
                 # reference's -scale_factor only ever rescales independent
                 # frames (core.lua:127-151; run_next_image ignores it), so a
                 # temporally consistent scaled pipeline is a deliberate fix.
                 if flow_cert is None or last_stylized is None:
-                    stylized = self.engine.stylize_first(content)
+                    if fused_u8:
+                        stylized, out_u8 = self.engine.stylize_first(
+                            content, emit_u8=True)
+                    else:
+                        stylized = self.engine.stylize_first(content)
                     delta = None
                 else:
                     flow, cert, *rest = flow_cert
@@ -206,6 +217,10 @@ class VideoDriver:
                                 content, last_stylized, flow, cert, delta,
                                 band_hint)
                             key_age += 1
+                    elif fused_u8:
+                        stylized, out_u8 = self.engine.stylize_next(
+                            content, last_stylized, flow, cert, band_hint,
+                            emit_u8=True)
                     else:
                         stylized = self.engine.stylize_next(
                             content, last_stylized, flow, cert, band_hint)
@@ -216,14 +231,17 @@ class VideoDriver:
                     )
                 dt = time.monotonic() - t0
                 out_path = self._out_path(i)
-                # quantize on device (async dispatch): the writer thread then
-                # downloads 6 MB of uint8 instead of 25 MB of float32
-                out_u8 = _f32_to_u8(jnp.asarray(out_full))
+                # quantized on device (async dispatch): the writer thread
+                # downloads 6 MB of uint8 instead of 25 MB of float32;
+                # on the fused path the u8 frame came out of the step itself
+                if out_u8 is None:
+                    out_u8 = _f32_to_u8(jnp.asarray(out_full))
                 writer.put(lambda p=out_path, s=out_u8: io.save_image(p, np.asarray(s)))
                 if progress:
                     print(f"frame {i}: {dt*1000:.1f} ms -> {out_path}")
                 if self.eval_fn is not None:
-                    row = self.eval_fn(i, frame, np.asarray(out_full), last_stylized_host)
+                    row = self.eval_fn(i, _u8_to_f32(frame),
+                                       np.asarray(out_full), last_stylized_host)
                     if row is not None:
                         self.eval_rows.append(list(row))
                 if need_host_prev:

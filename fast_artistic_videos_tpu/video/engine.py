@@ -128,7 +128,8 @@ class StylizerEngine:
                 self._next_reuse_impl, static_argnames=("band", "qband"))
         if apply_vid_phased is not None:
             self._jit_next_phased = jax.jit(
-                self._next_phased_impl, static_argnames=("band", "r"))
+                self._next_phased_impl,
+                static_argnames=("band", "r", "emit_u8"))
             self._jit_to_phased = jax.jit(
                 lambda y: phase_ops.s2d2_flat(y[None])[0])
             self._jit_phased_to_u8 = jax.jit(self._phased_to_u8_impl)
@@ -239,21 +240,28 @@ class StylizerEngine:
         return phase_ops.d2s2_flat(u[None], 3)[0]
 
     def _next_phased_impl(self, content, prev_phased, flow_phased, cert_low,
-                          band=None, r=2):
+                          band=None, r=2, emit_u8=False):
         """One recurrent step entirely in the flat 16-phase layout.
 
-        content: (H, W, 3) uint8 (or float32 [0,1]) — the ONLY full-res
-        tensor touched, transposed as uint8; prev_phased: (hq, wq, 48)
+        content: (H, W, 3) uint8/float32 [0,1], or ALREADY PHASED
+        (hq, wq, 48) — the streaming driver's prefetch thread runs the
+        space-to-depth on the HOST (ops.phase.s2d2_flat_np) so no full-res
+        tensor is ever relayouted on device; prev_phased: (hq, wq, 48)
         float32 RGB [0,1] (previous step's return); flow_phased:
         (hq, wq, 16, 2) or (hq, wq, 32) full-res pixel units (the provider's
         phased output); cert_low: (hl, wl) at flow resolution with
         r = H // hl in {2, 4}. Semantics identical to _next_impl +
-        nearest-upsampled provider cert (tested)."""
+        nearest-upsampled provider cert (tested). emit_u8=True also
+        returns the quantized PHASED uint8 frame from the same program
+        (the writer thread runs the host depth-to-space)."""
         cert16 = phase_ops.eroded_cert_phased(
             cert_low.astype(jnp.float32), r, self.config.occlusions_min_filter)
         prior = warp.bilinear_warp_phased(prev_phased, flow_phased, band=band)
         hq, wq = prior.shape[0], prior.shape[1]
-        cp = phase_ops.s2d2_flat(content[None])[0]
+        if content.ndim == 3 and content.shape[2] == 48:
+            cp = content  # host-phased upload
+        else:
+            cp = phase_ops.s2d2_flat(content[None])[0]
         if content.dtype == jnp.uint8:
             c5 = cp.reshape(hq, wq, 16, 3).astype(self._dtype)
         else:
@@ -269,7 +277,10 @@ class StylizerEngine:
         # deprocess + clip in phase space; the recurrence carries f32
         y5 = y[0].reshape(hq, wq, 16, 3).astype(jnp.float32)
         bgr = (y5 + jnp.asarray(VGG_MEAN_BGR, jnp.float32)) / 255.0
-        return jnp.clip(bgr[..., ::-1], 0.0, 1.0).reshape(hq, wq, 48)
+        out = jnp.clip(bgr[..., ::-1], 0.0, 1.0).reshape(hq, wq, 48)
+        if emit_u8:
+            return out, self._quantize_u8(out)
+        return out
 
     def to_phased(self, frame):
         """Full-res (H, W, 3) float32 [0,1] (H, W % 4 == 0) -> the phased
@@ -283,17 +294,22 @@ class StylizerEngine:
         return self._jit_phased_to_u8(y_phased)
 
     def stylize_next_phased(self, content, prev_phased, flow_phased,
-                            cert_low, band_hint):
+                            cert_low, band_hint, emit_u8=False):
         """Phase-resident stylize_next. All inputs should already be device
-        arrays (the streaming driver's prefetch uploads content once);
-        band_hint is required (the streaming provider always knows it)."""
-        h = content.shape[0]
-        if h % 4 or content.shape[1] % 4:
-            raise ValueError("phase-resident mode needs H, W % 4 == 0")
+        arrays (the streaming driver's prefetch uploads content once, in
+        HOST-phased (hq, wq, 48) form); band_hint is required (the
+        streaming provider always knows it). emit_u8=True also returns the
+        phased uint8 frame (host d2s in the writer, phase.d2s2_flat_np)."""
+        if content.ndim == 3 and content.shape[2] == 48:
+            h = content.shape[0] * 4
+        else:
+            h = content.shape[0]
+            if h % 4 or content.shape[1] % 4:
+                raise ValueError("phase-resident mode needs H, W % 4 == 0")
         r = h // cert_low.shape[0]
         return self._jit_next_phased(
             jnp.asarray(content), prev_phased, flow_phased, cert_low,
-            band=band_hint, r=r)
+            band=band_hint, r=r, emit_u8=emit_u8)
 
     # -- feature-reuse mode (keyframe + delta advection) -------------------
 

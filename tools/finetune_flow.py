@@ -27,7 +27,7 @@ from fast_artistic_videos_tpu.models import registry
 
 def report(tag, results):
     for name, (epe_mean, epe_max, pass_mean, pass_min) in results.items():
-        print(f"{tag} {name:8s} EPE {epe_mean:.3f} (max {epe_max:.2f}) "
+        print(f"{tag} {name:14s} EPE {epe_mean:.3f} (max {epe_max:.2f}) "
               f"pass {pass_mean:.3f} (min {pass_min:.3f})", flush=True)
 
 
@@ -38,11 +38,23 @@ def main():
     p.add_argument("--p_discontinuous", type=float, default=0.5)
     p.add_argument("--learning_rate", type=float, default=5e-5)
     p.add_argument("--seed", type=int, default=7)
+    p.add_argument("--natural_frac", type=float, default=0.0,
+                   help="fraction of the training pool drawn from the "
+                        "bundled natural-statistics fixtures")
     p.add_argument("--out", default="/tmp/flow_ft.npz")
     args = p.parse_args()
 
+    def eval_both(params):
+        res = {}
+        for tag, src in (("proc", None),
+                         ("nat", flow_train.natural_image)):
+            for name, v in flow_train.evaluate_heldout(
+                    params, size=128, n_cases=4, image_source=src).items():
+                res[f"{tag}/{name}"] = v
+        return res
+
     params = estimator.load_params(registry.bundled_flow_weights())
-    before = flow_train.evaluate_heldout(params, size=128, n_cases=4)
+    before = eval_both(params)
     report("before", before)
 
     params = flow_train.train_flow_synthetic(
@@ -52,8 +64,9 @@ def main():
         learning_rate=args.learning_rate,
         seed=args.seed,
         params=params,
+        natural_frac=args.natural_frac,
     )
-    after = flow_train.evaluate_heldout(params, size=128, n_cases=4)
+    after = eval_both(params)
     report("after", after)
 
     ok = True
