@@ -91,6 +91,14 @@ def main(argv=None):
             device = jax.devices()[opt.flow_device]
         import jax.numpy as jnp
 
+        # flow_scale < 1: the provider also applies the occlusion erosion
+        # at flow resolution (exact, consistency._eroded_nearest_up) so the
+        # engine skips its full-res min-filter — at 4K that filter alone is
+        # ~10 ms/frame (BENCH_NOTES round 4)
+        erode_window = (opt.occlusions_min_filter
+                        if (0 < opt.flow_scale < 1.0
+                            and opt.scale_factor == 1.0
+                            and opt.feature_reuse <= 1) else None)
         flow_provider = StreamingFlowProvider(
             flow_estimator.load_params(opt.flow_model),
             device=device,
@@ -98,6 +106,7 @@ def main(argv=None):
             dtype=jnp.bfloat16 if opt.dtype == "bfloat16" else None,
             coarse_backward=opt.coarse_backward,
             fast_check=opt.fast_check,
+            erode_window=erode_window,
         )
     eval_fn = None
     if opt.evaluate:

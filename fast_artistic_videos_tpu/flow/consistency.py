@@ -172,10 +172,68 @@ def _consistency_impl(flow1, flow2, image, use_structure: bool, band=None,
     return jnp.clip(reliable, 0.0, 255.0)
 
 
+def _minpool_axis(x, lo: int, hi: int, axis: int):
+    """min over window [i+lo, i+hi] with border clamping (edge padding is
+    idempotent under min) — mirrors ops.phase._minpool_1d."""
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (max(0, -lo), max(0, hi))
+    xp = jnp.pad(x, pad, mode="edge")
+    out = None
+    for d in range(lo, hi + 1):
+        start = [0] * x.ndim
+        start[axis] = d - lo
+        lim = list(xp.shape)
+        lim[axis] = d - lo + x.shape[axis]
+        t = jax.lax.slice(xp, start, lim)
+        out = t if out is None else jnp.minimum(out, t)
+    return out
+
+
+def _eroded_nearest_up(mask, fh: int, fw: int, window: int):
+    """EXACTLY min_filter(nearest_upsample(mask, (fh, fw)), window),
+    computed at LOW resolution: full-res row y = fh*i + v sees low rows
+    [(v-k)//fh, (v+k)//fh] around i, so there are only fh (fw) distinct
+    row (col) erosion variants; the full-res result interleaves them by
+    output parity. At 4K this replaces a full-res 7x7 min filter (~10 ms)
+    with a few low-res shifted mins and one fused interleave
+    (BENCH_NOTES round 4: the erosion was part of the 44 ms of non-net
+    full-res work)."""
+    k = window // 2
+    hs, ws = mask.shape
+    row_var = {}
+    for v in range(fh):
+        key = ((v - k) // fh, (v + k) // fh)
+        if key not in row_var:
+            row_var[key] = _minpool_axis(mask, key[0], key[1], axis=0)
+    col_cache = {}
+
+    def field(vr, vc):
+        rkey = ((vr - k) // fh, (vr + k) // fh)
+        ckey = (rkey, (vc - k) // fw, (vc + k) // fw)
+        if ckey not in col_cache:
+            col_cache[ckey] = _minpool_axis(
+                row_var[rkey], ckey[1], ckey[2], axis=1)
+        return col_cache[ckey]
+
+    # col-interleave per row variant (virtual nearest-up + parity select,
+    # fused), then row-interleave via a middle-axis stack (contiguous)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, ws, fw), 2)
+    rows = []
+    for vr in range(fh):
+        up = None
+        for vc in range(fw):
+            f = jnp.broadcast_to(field(vr, vc)[:, :, None], (hs, ws, fw))
+            up = f if up is None else jnp.where(lane == vc, f, up)
+        rows.append(up.reshape(hs, ws * fw))
+    return jnp.stack(rows, axis=1).reshape(hs * fh, ws * fw)
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("out_hw", "use_structure", "band", "rho"))
+                   static_argnames=("out_hw", "use_structure", "band", "rho",
+                                    "erode_window"))
 def _consistency_streaming_impl(flow1, flow2, image, out_hw,
-                                use_structure: bool, band, rho: float):
+                                use_structure: bool, band, rho: float,
+                                erode_window=None):
     hs, ws = flow1.shape[0], flow1.shape[1]
     h, w = out_hw
     if image.dtype == jnp.uint8:
@@ -188,17 +246,31 @@ def _consistency_streaming_impl(flow1, flow2, image, out_hw,
     if (hs, ws) != (h, w):
         fh, fw = h // hs, w // ws
         if (fh * hs, fw * ws) == (h, w):
-            mask = jnp.broadcast_to(
-                mask[:, None, :, None], (hs, fh, ws, fw)).reshape(h, w)
+            if erode_window:
+                mask = _eroded_nearest_up(mask, fh, fw, erode_window)
+            else:
+                mask = jnp.broadcast_to(
+                    mask[:, None, :, None], (hs, fh, ws, fw)).reshape(h, w)
         else:
             mask = jax.image.resize(mask, (h, w), "nearest")
+            if erode_window:
+                k = erode_window // 2
+                mask = _minpool_axis(_minpool_axis(mask, -k, k, 0), -k, k, 1)
+    elif erode_window:
+        k = erode_window // 2
+        mask = _minpool_axis(_minpool_axis(mask, -k, k, 0), -k, k, 1)
     return mask
 
 
 def consistency_mask_streaming(flow1, flow2, image=None, out_hw=None,
-                               rho: float = 3.0, band=None):
+                               rho: float = 3.0, band=None,
+                               erode_window=None):
     """Consistency check at the flow's NATIVE resolution, mask upsampled
     (nearest) to `out_hw`.
+
+    erode_window: also apply the engine's occlusion min-filter HERE, at
+    flow resolution (exact — see _eroded_nearest_up), so the engine can
+    skip its full-res erosion (StylizerEngine pre_eroded).
 
     The streaming provider estimates flow at `flow_scale` resolution; running
     the check there instead of on the upsampled full-res flow costs ~4x/16x
@@ -212,10 +284,12 @@ def consistency_mask_streaming(flow1, flow2, image=None, out_hw=None,
     out_hw = tuple(out_hw) if out_hw is not None else flow1.shape[:2]
     if image is not None:
         return _consistency_streaming_impl(
-            flow1, flow2, image, out_hw, True, band, float(rho)) / 255.0
+            flow1, flow2, image, out_hw, True, band, float(rho),
+            erode_window) / 255.0
     dummy = jnp.zeros(flow1.shape[:2] + (1,), jnp.float32)
     return _consistency_streaming_impl(
-        flow1, flow2, dummy, out_hw, False, band, float(rho)) / 255.0
+        flow1, flow2, dummy, out_hw, False, band, float(rho),
+        erode_window) / 255.0
 
 
 @functools.partial(jax.jit,

@@ -34,7 +34,7 @@ class StreamingFlowProvider:
                  flow_scale: float = 1.0, flow_estimator=None,
                  consistency_at_flow_res: bool = True, dtype=None,
                  coarse_backward: bool = False, fast_check: bool = False,
-                 phased: bool = False):
+                 phased: bool = False, erode_window=None):
         """flow_scale < 1 estimates flow at reduced resolution and rescales
         (flow at 540p costs ~4x less than 1080p and the consistency mask is
         robust to it); 1.0 = full resolution. Pass a shared `flow_estimator`
@@ -70,6 +70,16 @@ class StreamingFlowProvider:
         self.coarse_backward = coarse_backward
         self.fast_check = fast_check
         self.phased = phased
+        # erode_window: apply the engine's occlusion min-filter inside the
+        # consistency program at flow resolution (exact; the engine is then
+        # called with pre_eroded=True). See consistency._eroded_nearest_up.
+        self.erode_window = erode_window
+        if erode_window and phased:
+            raise ValueError("erode_window is the full-res path's option; "
+                             "the phased engine erodes in phase space")
+        if erode_window and (not consistency_at_flow_res or flow_scale >= 1.0):
+            raise ValueError("erode_window needs consistency_at_flow_res=True "
+                             "and flow_scale < 1.0")
         if phased and (not consistency_at_flow_res or flow_scale >= 1.0):
             raise ValueError("phased provider mode needs "
                              "consistency_at_flow_res and flow_scale < 1")
@@ -121,7 +131,8 @@ class StreamingFlowProvider:
             # band the engine needs covers the upsampled full-res flow
             cert = consistency.consistency_mask_streaming(
                 bwd_low, fwd_low, image,
-                out_hw=None if self.phased else frame.shape[:2], band=band)
+                out_hw=None if self.phased else frame.shape[:2], band=band,
+                erode_window=self.erode_window)
             self.last_band = flow_band(band / self.flow_scale)
         else:
             cert = consistency.consistency_mask(backward, forward, image,

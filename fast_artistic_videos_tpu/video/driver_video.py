@@ -180,6 +180,9 @@ class VideoDriver:
         # quantized uint8 output (saves a full extra pass over the float
         # frame per step vs the old separate _f32_to_u8 jit)
         fused_u8 = scale == 1.0 and reuse_k <= 1
+        # provider-side exact erosion (StreamingFlowProvider erode_window):
+        # the engine must then skip its own full-res min-filter
+        pre_eroded = bool(getattr(self.flow_provider, "erode_window", None))
         try:
             for i, item in pipeline.Prefetcher(self._load_inputs, indices):
                 frame, flow_cert = item
@@ -220,10 +223,11 @@ class VideoDriver:
                     elif fused_u8:
                         stylized, out_u8 = self.engine.stylize_next(
                             content, last_stylized, flow, cert, band_hint,
-                            emit_u8=True)
+                            emit_u8=True, pre_eroded=pre_eroded)
                     else:
                         stylized = self.engine.stylize_next(
-                            content, last_stylized, flow, cert, band_hint)
+                            content, last_stylized, flow, cert, band_hint,
+                            pre_eroded=pre_eroded)
                 out_full = stylized
                 if scale != 1.0:
                     out_full = _resize_bicubic(

@@ -118,8 +118,9 @@ class StylizerEngine:
         # compile time instead of re-running them every frame.
         self._jit_first = jax.jit(self._first_impl,
                                   static_argnames=("emit_u8",))
-        self._jit_next = jax.jit(self._next_impl,
-                                 static_argnames=("band", "emit_u8"))
+        self._jit_next = jax.jit(
+            self._next_impl,
+            static_argnames=("band", "emit_u8", "pre_eroded"))
         self._jit_prior = jax.jit(self._stylize_with_prior, static_argnames=("erode",))
         if apply_vid_split is not None and reuse_plan is not None:
             self._jit_next_full = jax.jit(
@@ -199,14 +200,18 @@ class StylizerEngine:
         return out
 
     def _next_impl(self, content, prev_stylized, flow, cert, key, band=None,
-                   emit_u8=False):
+                   emit_u8=False, pre_eroded=False):
         """content/prev_stylized: (H,W,3) RGB [0,1] (content may be uint8);
         flow: (H,W,2) (dx,dy) mapping frame-i pixels to frame-(i-1)
         positions (backward flow); cert: (H,W) in [0,1]. emit_u8=True also
         returns the quantized uint8 frame from the SAME program (the
         epilogue fuses with the net tail; a separate quantize jit costs a
-        full extra read of the 25 MB float output)."""
-        cert = filters.min_filter(cert, self.config.occlusions_min_filter)
+        full extra read of the 25 MB float output). pre_eroded=True skips
+        the occlusion min-filter — the streaming provider already applied
+        it EXACTLY at flow resolution (consistency erode_window), which at
+        4K replaces a ~10 ms full-res filter with low-res shifted mins."""
+        if not pre_eroded:
+            cert = filters.min_filter(cert, self.config.occlusions_min_filter)
         prior_rgb = warp.bilinear_warp(prev_stylized, flow, band=band)
         out = self._stylize_with_prior(content, prior_rgb, cert, key)
         if emit_u8:
@@ -419,7 +424,7 @@ class StylizerEngine:
         return args, band, (h, w)
 
     def stylize_next(self, content, prev_stylized, flow, cert, band_hint=None,
-                     emit_u8=False):
+                     emit_u8=False, pre_eroded=False):
         """prev_stylized may be the device array returned by a previous
         stylize_* call — the temporal recurrence then never round-trips
         through the host. band_hint: warp band already known to cover
@@ -429,7 +434,8 @@ class StylizerEngine:
         program (saves a full extra pass over the float output)."""
         args, band, (h, w) = self._prep_next(
             content, prev_stylized, flow, cert, band_hint)
-        out = self._jit_next(*args, band=band, emit_u8=emit_u8)
+        out = self._jit_next(*args, band=band, emit_u8=emit_u8,
+                             pre_eroded=pre_eroded)
         if emit_u8:
             y, u8 = out
             return y[:h, :w], u8[:h, :w]

@@ -309,3 +309,45 @@ def test_banded_warp_error_confined_to_unreliable_region():
         f"banded-warp error leaks into {int(leaking.sum())} pixels the "
         "consistency mask calls reliable"
     )
+
+
+def test_streaming_erode_window_exact():
+    """consistency_mask_streaming(erode_window=w) must equal
+    min_filter(nearest-up mask, w) EXACTLY for integer upsample ratios —
+    the provider-side erosion that replaces the engine's full-res filter
+    (at 4K a ~10 ms stage; BENCH_NOTES round 4)."""
+    from fast_artistic_videos_tpu.flow import consistency
+    from fast_artistic_videos_tpu.ops import filters
+
+    rng = np.random.default_rng(3)
+    for r, w in ((2, 7), (4, 7), (2, 3)):
+        hs, ws = 16, 20
+        f1 = (rng.random((hs, ws, 2)).astype(np.float32) - 0.5) * 4
+        f2 = -f1 + rng.normal(0, 0.3, (hs, ws, 2)).astype(np.float32)
+        img = rng.integers(0, 256, (hs * r, ws * r, 3), dtype=np.uint8)
+        plain = consistency.consistency_mask_streaming(
+            jnp.asarray(f1), jnp.asarray(f2), jnp.asarray(img),
+            out_hw=(hs * r, ws * r), band=8)
+        want = filters.min_filter(plain, w)
+        got = consistency.consistency_mask_streaming(
+            jnp.asarray(f1), jnp.asarray(f2), jnp.asarray(img),
+            out_hw=(hs * r, ws * r), band=8, erode_window=w)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_streaming_erode_window_native_res():
+    """erode_window with out_hw == flow res = a plain min_filter."""
+    from fast_artistic_videos_tpu.flow import consistency
+    from fast_artistic_videos_tpu.ops import filters
+
+    rng = np.random.default_rng(4)
+    hs, ws = 14, 18
+    f1 = (rng.random((hs, ws, 2)).astype(np.float32) - 0.5) * 4
+    f2 = -f1
+    plain = consistency.consistency_mask_streaming(
+        jnp.asarray(f1), jnp.asarray(f2), None, out_hw=(hs, ws), band=8)
+    want = filters.min_filter(plain, 7)
+    got = consistency.consistency_mask_streaming(
+        jnp.asarray(f1), jnp.asarray(f2), None, out_hw=(hs, ws), band=8,
+        erode_window=7)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
