@@ -167,6 +167,17 @@ class VideoDriver:
                 last_stylized = io.load_image(prev_path)
                 if scale != 1.0:
                     last_stylized = _resize_bicubic(last_stylized, scale)
+                if self.flow_provider is not None and last_stylized is not None:
+                    # prime the streaming provider with the last INPUT frame
+                    # so the resumed frame gets a real flow/cert pair and
+                    # warps the reloaded recurrence instead of restarting
+                    # independently (matches the file-based resume path and
+                    # the reference's VR reload, fast_artistic_video_vr.lua:576-583)
+                    prev_in = self.load_frame_device(opt.continue_with - 1)
+                    if prev_in is not None:
+                        self.flow_provider(prev_in)
+                    else:
+                        last_stylized = None  # no input frame -> cold start
         last_stylized_host: Optional[np.ndarray] = None
         need_host_prev = self.eval_fn is not None
         # feature-reuse mode (--feature_reuse K): frame t is a keyframe when
