@@ -440,6 +440,12 @@ class Trainer:
         d = os.path.dirname(base)
         if d:
             os.makedirs(d, exist_ok=True)
+        # multi-host: the orbax save below is COLLECTIVE (every process
+        # participates), but the history JSON and the model .npz are plain
+        # single-file writes of replicated values — only process 0 writes
+        # them (two processes racing on one path corrupts it); the RNG/cursor
+        # sidecars are per-process by name (_rng_sidecar_suffix)
+        primary = jax.process_index() == 0
         history = {
             "opt": dataclasses.asdict(opt),
             "train_loss_history": self.train_loss_history,
@@ -449,21 +455,23 @@ class Trainer:
             "percept_loss_history": self.percept_loss_history,
             "iter": self.iteration,
         }
-        with open(base + ".json", "w") as f:
-            json.dump(history, f)
+        if primary:
+            with open(base + ".json", "w") as f:
+                json.dump(history, f)
         num_steps = int(schedule_value(self.frame_steps_sched, self.iteration))
-        model_ckpt.save_model(
-            f"{base}_{num_steps}.npz",
-            self.params,
-            {
-                "arch": opt.arch,
-                "in_channels": 7,
-                "padding_type": opt.padding_type,
-                "use_instance_norm": opt.use_instance_norm,
-                "tanh_constant": opt.tanh_constant,
-                "iter": self.iteration,
-            },
-        )
+        if primary:
+            model_ckpt.save_model(
+                f"{base}_{num_steps}.npz",
+                self.params,
+                {
+                    "arch": opt.arch,
+                    "in_channels": 7,
+                    "padding_type": opt.padding_type,
+                    "use_instance_norm": opt.use_instance_norm,
+                    "tanh_constant": opt.tanh_constant,
+                    "iter": self.iteration,
+                },
+            )
         # full training state (optimizer included — the reference drops it,
         # README.md:270; we keep it)
         self._save_train_state(base + "_state")
@@ -493,6 +501,11 @@ class Trainer:
             "rng_uinteger": int(st["uinteger"]),
             "image_cursor": self.image_source.cursor if self.image_source else None,
             "video_cursor": self.video_source.cursor if self.video_source else None,
+            # history accumulators (running sums since the last history
+            # flush) — without them a resumed run's first history entry
+            # averages fewer iterations than the uninterrupted run's
+            "total_accum": self._total_accum,
+            "loss_accum": self._loss_accum,
         }
         with open(path + _rng_sidecar_suffix(), "w") as f:
             json.dump(side, f)
@@ -534,6 +547,21 @@ class Trainer:
                 self.image_source.cursor = side["image_cursor"]
             if self.video_source and side["video_cursor"] is not None:
                 self.video_source.cursor = side["video_cursor"]
+            self._total_accum = side.get("total_accum", 0.0)
+            self._loss_accum = dict(side.get("loss_accum", {}))
+        # loss histories live in the sibling "<base>.json" written by
+        # save_checkpoint (path is "<base>_state") — without this a resumed
+        # run's final history JSON silently drops every pre-interrupt entry
+        if path.endswith("_state"):
+            hist_path = path[: -len("_state")] + ".json"
+            if os.path.exists(hist_path):
+                with open(hist_path) as f:
+                    hist = json.load(f)
+                for k in ("train_loss_history", "val_loss_history",
+                          "val_loss_last_history", "val_loss_history_ts",
+                          "percept_loss_history"):
+                    if k in hist:
+                        setattr(self, k, hist[k])
         return self
 
 
