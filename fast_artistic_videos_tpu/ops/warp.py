@@ -170,17 +170,22 @@ def _warp_banded_phased(img, flow, band: int):
         expand[p, p * co:(p + 1) * co] = 1.0
     expand = jnp.asarray(expand, cdt)
 
+    # narrow tap indices: rel spans [-1, 2*band+1]; int8 when that fits
+    # (band <= 62) makes the tap-mask compares stream 1/4 the int traffic
+    # — measured -2.1 ms at band 32 (tools/profile_phased_warp_variants.py)
+    rdt = jnp.int8 if 2 * band + 1 <= 127 else jnp.int32
+
     def prep_off(off):
         off48 = jnp.matmul(off, expand, precision="highest")
         base = jnp.floor(off48)
         w0 = (1.0 - (off48 - base)).astype(cdt)
-        rel = base.astype(jnp.int32) + band
-        return w0, rel
+        rel = jnp.clip(base.astype(jnp.int32) + band, -2, 2 * band + 2)
+        return w0, rel.astype(rdt)
 
     def coeff(w0, rel, m):
         k = m + band
-        return (jnp.where(rel == k, w0, 0.0)
-                + jnp.where(rel == k - 1, 1.0 - w0, 0.0))
+        return (jnp.where(rel == rdt(k), w0, 0.0)
+                + jnp.where(rel == rdt(k - 1), 1.0 - w0, 0.0))
 
     def rot_perms(u, vertical):
         """One-hot (C, C) matrices: out ch (q, cp, c) <- src ch with the
@@ -342,11 +347,16 @@ def make_static_warp(map_np, sentinel: float = 9999.0):
 
 
 def flow_band(max_abs_flow: float, minimum: int = 8) -> int:
-    """Static band bucket (power of two) covering `max_abs_flow`, so a video
-    triggers at most a few recompilations as its flow range grows."""
+    """Static band bucket covering `max_abs_flow`, so a video triggers at
+    most a few recompilations as its flow range grows. Buckets are
+    multiples of 8 up to 64 then powers of two: warp cost is linear in
+    the band (2*band+2 taps), and the old power-of-two ladder wasted up
+    to ~1.6x taps right where it hurts (a ~19 px flow ran band 32; it
+    now runs band 24). Multiples of 8 keep the phased warp's block
+    decomposition and the Pallas kernel's 8-row windows aligned."""
     b = minimum
     while b < max_abs_flow:
-        b *= 2
+        b = b + 8 if b < 64 else b * 2
     return b
 
 

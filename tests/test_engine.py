@@ -282,3 +282,36 @@ def test_u8_content_and_emit_u8_match_f32_path():
     np.testing.assert_allclose(np.asarray(gotf), np.asarray(wantf),
                                atol=1e-6, rtol=0)
     np.testing.assert_array_equal(np.asarray(gotf_u8), np.asarray(wantf_u8))
+
+
+def test_warp_kernel_pallas_matches_xla():
+    """EngineConfig.warp_kernel='pallas' (the large-band TPU path,
+    interpret-mode on CPU) must produce the same step output as the XLA
+    banded warp — the two dispatch arms of StylizerEngine._banded_warp."""
+    rng = np.random.default_rng(3)
+    content = rng.random((16, 24, 3)).astype(np.float32)
+    prev = rng.random((16, 24, 3)).astype(np.float32)
+    flow = (rng.random((16, 24, 2)).astype(np.float32) - 0.5) * 6
+    cert = (rng.random((16, 24)) > 0.3).astype(np.float32)
+
+    def run(wk):
+        eng = StylizerEngine(
+            _prior_echo_model, params_vid=None, stride_multiple=1,
+            config=EngineConfig(occlusions_min_filter=3, warp_kernel=wk,
+                                seed=7))
+        return np.asarray(eng.stylize_next(content, prev, flow, cert,
+                                           band_hint=8))
+
+    np.testing.assert_allclose(run("pallas"), run("xla"), atol=1e-5)
+
+
+def test_flow_band_ladder():
+    from fast_artistic_videos_tpu.ops.warp import flow_band
+
+    assert flow_band(0.5) == 8
+    assert flow_band(8.0) == 8
+    assert flow_band(8.1) == 16
+    assert flow_band(18.7) == 24
+    assert flow_band(33.0) == 40
+    assert flow_band(48.1) == 56
+    assert flow_band(64.1) == 128
