@@ -34,19 +34,25 @@ from ..ops import warp as warp_ops
 PYRAMID_CHANNELS = (16, 32, 64, 96)
 COST_RADIUS = 3
 ESTIMATOR_CHANNELS = (96, 64, 32)
+# context network (PWC-Net sec 3: dilated convs over the finest estimator
+# features + flow, predicting a residual). The last conv is ZERO-initialized
+# so grafting the head onto existing weights is an exact no-op until trained.
+CONTEXT_CHANNELS = (64, 64, 48)
+CONTEXT_DILATIONS = (1, 2, 4)
 # feature-warp band: level flows rarely exceed a few level-pixels
 WARP_BAND = 8
 
 Params = Dict[str, Dict[str, jnp.ndarray]]
 
 
-def _conv(params, name, x, stride=1, relu=True):
+def _conv(params, name, x, stride=1, relu=True, dilation=1):
     p = params[name]
     y = jax.lax.conv_general_dilated(
         x,
         p["w"].astype(x.dtype),
         window_strides=(stride, stride),
         padding="SAME",
+        rhs_dilation=(dilation, dilation),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=x.dtype,
     )
@@ -93,7 +99,7 @@ def _init_conv(key, k, cin, cout):
     }
 
 
-def init_params(key) -> Params:
+def init_params(key, context: bool = False) -> Params:
     params: Params = {}
     cin = 3
     for lvl, cout in enumerate(PYRAMID_CHANNELS):
@@ -110,7 +116,37 @@ def init_params(key) -> Params:
             cin_est = cout
         key, k1 = jax.random.split(key)
         params[f"est{lvl}_out"] = _init_conv(k1, 3, cin_est, 2)
+    if context:
+        key, k1 = jax.random.split(key)
+        params.update(init_context(k1))
     return params
+
+
+def init_context(key) -> Params:
+    """The context-head parameter group alone (see CONTEXT_CHANNELS). The
+    output conv is zero so adding the group to trained weights changes
+    nothing until fine-tuned (`add_context`)."""
+    params: Params = {}
+    cin = ESTIMATOR_CHANNELS[-1] + 2  # finest est features + flow
+    for i, cout in enumerate(CONTEXT_CHANNELS):
+        key, k1 = jax.random.split(key)
+        params[f"ctx_{i}"] = _init_conv(k1, 3, cin, cout)
+        cin = cout
+    params["ctx_out"] = {
+        "w": jnp.zeros((3, 3, cin, 2), jnp.float32),
+        "b": jnp.zeros((2,), jnp.float32),
+    }
+    return params
+
+
+def add_context(params: Params, key) -> Params:
+    """Graft a (no-op) context head onto existing weights — the fine-tune
+    entry point for upgrading the bundled checkpoint in place."""
+    if "ctx_out" in params:
+        return params
+    out = dict(params)
+    out.update(init_context(key))
+    return out
 
 
 def _pyramid(params, img):
@@ -175,6 +211,17 @@ def refine(params, f1s, f2s, collect: bool = False, skip_finest: int = 0,
         for i in range(len(ESTIMATOR_CHANNELS)):
             x = _conv(params, f"est{lvl}_{i}", x)
         flow = flow + _conv(params, f"est{lvl}_out", x, relu=False).astype(jnp.float32)
+        if lvl == 0 and "ctx_out" in params:
+            # context head (PWC-Net): dilated convs over the finest
+            # estimator features + flow -> flow residual. Only the finest
+            # level — coarser early-exit paths (skip_finest/fast_check's
+            # cross-check direction) feed the 7x7-eroded consistency mask
+            # and keep the cheap form.
+            cx = jnp.concatenate([x, flow.astype(x.dtype)], axis=-1)
+            for i, dil in enumerate(CONTEXT_DILATIONS):
+                cx = _conv(params, f"ctx_{i}", cx, dilation=dil)
+            flow = flow + _conv(params, "ctx_out", cx,
+                                relu=False).astype(jnp.float32)
         if collect:
             outs.append(flow)
     if collect:

@@ -41,6 +41,10 @@ def main():
     p.add_argument("--natural_frac", type=float, default=0.0,
                    help="fraction of the training pool drawn from the "
                         "bundled natural-statistics fixtures")
+    p.add_argument("--context", action="store_true",
+                   help="graft the (zero-output) context head onto the "
+                        "weights before training (estimator.add_context)")
+    p.add_argument("--eval_size", type=int, default=128)
     p.add_argument("--out", default="/tmp/flow_ft.npz")
     args = p.parse_args()
 
@@ -49,11 +53,14 @@ def main():
         for tag, src in (("proc", None),
                          ("nat", flow_train.natural_image)):
             for name, v in flow_train.evaluate_heldout(
-                    params, size=128, n_cases=4, image_source=src).items():
+                    params, size=args.eval_size, n_cases=4,
+                    image_source=src).items():
                 res[f"{tag}/{name}"] = v
         return res
 
     params = estimator.load_params(registry.bundled_flow_weights())
+    if args.context:
+        params = estimator.add_context(params, jax.random.PRNGKey(args.seed + 1))
     before = eval_both(params)
     report("before", before)
 
