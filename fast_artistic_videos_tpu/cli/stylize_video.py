@@ -61,9 +61,21 @@ def build_engine(opt: StylizeOptions) -> StylizerEngine:
     split = None
     if plan is not None:
         split = lambda p, x, **kw: stylizer.apply(p, spec_v, x, **kw)  # noqa: E731
+    phased_kw = {}
+    if opt.phase_resident:
+        if not stylizer.supports_phase_io(spec_v):
+            raise SystemExit(
+                "--phase_resident: this architecture does not support "
+                "phase-io (needs stride-4 with 4-aligned input padding)")
+        phased_kw = dict(
+            apply_vid_phased=lambda p, x: stylizer.apply(  # noqa: E731
+                p, spec_v, x, phase_input=True, phase_output=True,
+                fold_preprocess=True),
+            phase_pad_blocks=spec_v.input_pad // 4,
+        )
     return StylizerEngine(
         apply_vid, params_v, apply_img, params_img, stride_multiple=stride,
-        config=cfg, apply_vid_split=split, reuse_plan=plan,
+        config=cfg, apply_vid_split=split, reuse_plan=plan, **phased_kw,
     )
 
 
@@ -78,6 +90,17 @@ def main(argv=None):
             and (not opt.flow_pattern or not opt.occlusions_pattern)):
         p.error("--flow_pattern and --occlusions_pattern are required "
                 "(or pass --flow_model for on-TPU flow, or --create_inconsistent)")
+    if opt.phase_resident:
+        if not opt.flow_model or not (0 < opt.flow_scale < 1.0):
+            p.error("--phase_resident needs --flow_model with "
+                    "0 < --flow_scale < 1 (the provider emits phased flow "
+                    "at estimation resolution)")
+        if (opt.scale_factor != 1.0 or opt.feature_reuse > 1
+                or opt.exact_warp or opt.fill_occlusions != "vgg-mean"
+                or opt.create_inconsistent):
+            p.error("--phase_resident is incompatible with --scale_factor, "
+                    "--feature_reuse, --exact_warp, --create_inconsistent "
+                    "and non-default --fill_occlusions")
     engine = build_engine(opt)
     flow_provider = None
     if opt.flow_model:
@@ -98,7 +121,8 @@ def main(argv=None):
         erode_window = (opt.occlusions_min_filter
                         if (0 < opt.flow_scale < 1.0
                             and opt.scale_factor == 1.0
-                            and opt.feature_reuse <= 1) else None)
+                            and opt.feature_reuse <= 1
+                            and not opt.phase_resident) else None)
         flow_provider = StreamingFlowProvider(
             flow_estimator.load_params(opt.flow_model),
             device=device,
@@ -107,6 +131,10 @@ def main(argv=None):
             coarse_backward=opt.coarse_backward,
             fast_check=opt.fast_check,
             erode_window=erode_window,
+            # phased provider: flow comes back in the flat 16-phase layout
+            # and the certainty stays at flow res (the engine erodes it in
+            # phase space — exact, ops.phase.eroded_cert_phased)
+            phased=opt.phase_resident,
         )
     eval_fn = None
     if opt.evaluate:

@@ -193,6 +193,17 @@ class StylizeOptions:
                                         # pair; keeps MORE pixels — ledger
                                         # in BENCH_NOTES "fast cross-check")
     flow_device: int = -1               # pin the flow stage to a device index
+    phase_resident: bool = False        # keep the whole per-frame device
+                                        # path (recurrence, warp, cert
+                                        # erosion, net) in the 16-phase
+                                        # quarter-res layout — no full-res
+                                        # tensor on device per frame.
+                                        # Needs --flow_model with
+                                        # 0 < flow_scale < 1, frame H,W % 4
+                                        # == 0, vgg-mean fill, no
+                                        # scale_factor/exact_warp/
+                                        # feature_reuse (full-chain A/B in
+                                        # BENCH_NOTES round 5)
     feature_reuse: int = 0              # keyframe interval for the lossy
                                         # high-fps mode: every Kth frame runs
                                         # the full net, in-between frames

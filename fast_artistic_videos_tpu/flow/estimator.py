@@ -476,6 +476,15 @@ class FlowEstimator:
                 hs, ws = h, w
 
             def _up(flow):
+                if phased_up and (h, w) in ((2 * hs, 2 * ws),
+                                            (4 * hs, 4 * ws)):
+                    # upsample + unit rescale + s2d as ONE phase-space conv:
+                    # the full-res (H, W, 2) tensor (whose s2d transpose is
+                    # lane-sparse layout work, ~1.4 ms at 1080p) never exists
+                    from ..ops.phase import upsample_flow_phased
+
+                    return upsample_flow_phased(
+                        flow, h // hs, 1.0 / flow_scale)
                 if (hs, ws) != (h, w):
                     flow = jax.image.resize(flow, (h, w, 2), "bilinear") / flow_scale
                 if phased_up:

@@ -146,6 +146,80 @@ def reflect_pad_phased(x, blocks: int):
     return v.reshape(n, h + 2 * blocks, wp, 16 * co)
 
 
+def _bilinear_phase_taps(p: int, r: int):
+    """Vertical/horizontal taps of the half-pixel-centers bilinear x r
+    upsample (jax.image.resize semantics) for full-res phase p, as
+    (offset, weight) pairs relative to low row (4 // r) * B."""
+    off = (p + 0.5) / r - 0.5
+    lo = int(np.floor(off))
+    frac = off - lo
+    return [(lo, 1.0 - frac), (lo + 1, frac)]
+
+
+def upsample_flow_phased(low, r: int, gain: float = 1.0):
+    """[bilinear upsample x r -> * gain -> s2d2_flat] for a low-res flow
+    field, computed as ONE tiny constant-weight conv in phase space — the
+    full-res (H, W, 2) tensor is never materialized (its s2d transpose is
+    lane-sparse layout work, ~1.4 ms/frame at 1080p: BENCH_NOTES round 5
+    "refine_pair phased_up tax").
+
+    low: (hs, ws, 2) flow at estimation resolution (est-res pixel units);
+    r in {2, 4} with full res H = r*hs, W = r*ws and H, W % 4 == 0; gain
+    folds the 1/flow_scale unit rescale into the conv weights. Returns
+    (hq, wq, 16, 2), hq = H // 4 — exactly
+    ``s2d2_flat((jax.image.resize(low, (H, W, 2), "bilinear") * gain)[None])
+    [0].reshape(hq, wq, 16, 2)`` (resize's renormalized edge taps equal
+    index clamping for the 2-tap bilinear kernel; the padding below
+    replicates that clamping exactly)."""
+    if r not in (2, 4):
+        raise ValueError("upsample_flow_phased supports r in {2, 4}")
+    hs, ws = low.shape[0], low.shape[1]
+    cdt = jnp.promote_types(low.dtype, jnp.float32)
+
+    if r == 4:
+        # low rows ARE the block grid; 3x3 edge-padded conv, 2 -> 32 ch
+        ci = 2
+        xp = jnp.pad(low.astype(cdt), ((1, 1), (1, 1), (0, 0)), mode="edge")
+    else:
+        # r == 2: one-level s2d (block 2) then a 3x3 conv over block space;
+        # channels ch = (py*2 + px)*2 + c
+        ci = 8
+        x2 = low.astype(cdt).reshape(hs // 2, 2, ws // 2, 2, 2)
+        x2 = x2.transpose(0, 2, 1, 3, 4).reshape(hs // 2, ws // 2, 8)
+        # index-clamped padding: the virtual block -1 duplicates ROW 0 (not
+        # block 0 reversed) in both its phase slots — plain mode='edge'
+        # would put row 1 in the second slot
+        top = x2[:1, :, jnp.asarray([0, 1, 2, 3, 0, 1, 2, 3])]
+        bot = x2[-1:, :, jnp.asarray([4, 5, 6, 7, 4, 5, 6, 7])]
+        x2 = jnp.concatenate([top, x2, bot], axis=0)
+        left = x2[:, :1, jnp.asarray([0, 1, 0, 1, 4, 5, 4, 5])]
+        right = x2[:, -1:, jnp.asarray([2, 3, 2, 3, 6, 7, 6, 7])]
+        xp = jnp.concatenate([left, x2, right], axis=1)
+
+    kern = np.zeros((3, 3, ci, 32), np.float32)
+    for rp in range(4):
+        for dv, wv in _bilinear_phase_taps(rp, r):
+            for cp in range(4):
+                for dh, wh in _bilinear_phase_taps(cp, r):
+                    if r == 4:
+                        ky, py = dv + 1, None
+                        kx, px = dh + 1, None
+                        cin0 = 0
+                    else:
+                        by, py = divmod(dv + 2, 2)
+                        bx, px = divmod(dh + 2, 2)
+                        ky, kx = by, bx  # dv in {-2..3} -> block {-1,0,1}+1
+                        cin0 = (py * 2 + px) * 2
+                    for c in range(2):
+                        kern[ky, kx, cin0 + c, (rp * 4 + cp) * 2 + c] += (
+                            wv * wh * gain)
+    out = jax.lax.conv_general_dilated(
+        xp[None], jnp.asarray(kern, cdt), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST)[0]
+    return out.reshape(out.shape[0], out.shape[1], 16, 2)
+
+
 def _minpool_1d(x, lo: int, hi: int, axis: int):
     """min over window [i+lo, i+hi] (inclusive) with index clamping at the
     borders — the clamped duplicates are idempotent under min, so this

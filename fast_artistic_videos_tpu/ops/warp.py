@@ -173,7 +173,7 @@ def _warp_banded_phased(img, flow, band: int):
     # narrow tap indices: rel spans [-1, 2*band+1]; int8 when that fits
     # (band <= 62) makes the tap-mask compares stream 1/4 the int traffic
     # — measured -2.1 ms at band 32 (tools/profile_phased_warp_variants.py)
-    rdt = jnp.int8 if 2 * band + 1 <= 127 else jnp.int32
+    rdt = jnp.int8 if 2 * band + 2 <= 127 else jnp.int32
 
     def prep_off(off):
         off48 = jnp.matmul(off, expand, precision="highest")
@@ -204,6 +204,14 @@ def _warp_banded_phased(img, flow, band: int):
                     (pw if wrap else pk)[src * co + c, j] = 1.0
         return jnp.asarray(pk, cdt), jnp.asarray(pw, cdt)
 
+    # Small bands unroll to static slices (same rule as the full-res
+    # banded pass); at band > 16 the unrolled tap ladder loses badly on
+    # TPU (measured 1080p: 3.36 ms at band 16 but 9.74/11.19 ms at band
+    # 24/32, where the full-res fori_loop form runs 3.1-3.8 ms —
+    # BENCH_NOTES round 5), so large bands ride a fori_loop over the
+    # block shifts of each residue, with the rotation matmuls hoisted.
+    unroll = band <= 16
+
     def banded_pass(x, off, axis, vertical):
         n = x.shape[axis]
         P = band // 4 + 2
@@ -224,12 +232,24 @@ def _warp_banded_phased(img, flow, band: int):
                 # from bf16-splitting the values
                 y = (jnp.matmul(base, pk, precision="highest")
                      + jnp.matmul(shift1, pw, precision="highest"))
-            for m in range(-band, band + 2):
-                if m % 4 != u:
-                    continue
-                sm = (m - u) // 4
-                g = jax.lax.slice_in_dim(y, P + sm, P + sm + n, axis=axis)
-                acc = acc + g * coeff(w0, rel, m)
+            ms = [m for m in range(-band, band + 2) if m % 4 == u]
+            if unroll:
+                for m in ms:
+                    sm = (m - u) // 4
+                    g = jax.lax.slice_in_dim(y, P + sm, P + sm + n, axis=axis)
+                    acc = acc + g * coeff(w0, rel, m)
+                continue
+            sm_lo = (ms[0] - u) // 4
+
+            def body(j, a, y=y, u=u, sm_lo=sm_lo):
+                sm = sm_lo + j
+                g = jax.lax.dynamic_slice_in_dim(y, P + sm, n, axis=axis)
+                k = (4 * sm + u + band).astype(rdt)  # fits rdt: <= 2*band+1
+                c = (jnp.where(rel == k, w0, 0.0)
+                     + jnp.where(rel == k - rdt(1), 1.0 - w0, 0.0))
+                return a + g * c
+
+            acc = jax.lax.fori_loop(0, len(ms), body, acc)
         return acc
 
     v = banded_pass(img, dy, axis=0, vertical=True)

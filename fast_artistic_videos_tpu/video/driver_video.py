@@ -59,8 +59,12 @@ class VideoDriver:
         """flow_provider: optional streaming estimator
         (flow.provider.StreamingFlowProvider) replacing the file-based flow
         pipeline; fed every frame in order, returns (backward_flow, cert) or
-        None for the first frame. With a provider, continue_with restarts
-        stylize their first frame independently (no previous frame exists)."""
+        None for the first frame. On continue_with resume the provider is
+        primed with the last INPUT frame so the resumed frame gets a real
+        flow/cert pair and the recurrence continues from the reloaded
+        output (run(), below) — only when neither the previous output nor
+        the previous input exists does the resume frame restart
+        independently."""
         self.engine = engine
         self.opt = opt
         self.eval_fn = eval_fn  # called as eval_fn(i, content, stylized, prev_stylized)
@@ -103,6 +107,34 @@ class VideoDriver:
         if opt.fix_occlusions:
             cert = fix_occlusions_mask(cert, flow)
         return flow, cert
+
+    def _load_inputs_phased(self, i: int):
+        """Prefetchable bundle for frame i in phase-resident mode: the
+        content frame is space-to-depthed on THIS (prefetch) thread
+        (ops.phase.s2d2_flat_np) and uploaded in the flat 16-phase layout —
+        the device never relayouts a full-res tensor; the full-res uint8
+        upload still happens for the flow provider (pyramid + consistency
+        structure image)."""
+        from ..ops import phase as phase_ops
+
+        path = self._frame_path(i)
+        if not os.path.exists(path):
+            return None
+        frame_np = io.load_image_u8(path)
+        if frame_np.shape[0] % 4 or frame_np.shape[1] % 4:
+            raise ValueError(
+                "phase_resident needs frame H, W divisible by 4 "
+                f"(got {frame_np.shape[:2]})")
+        frame = jnp.asarray(frame_np)
+        content_ph = jnp.asarray(phase_ops.s2d2_flat_np(frame_np))
+        # the provider sees EVERY frame (it needs frame i-1's pyramid to
+        # pair with frame i), even when frame i stylizes independently
+        flow_cert = self.flow_provider(frame)
+        if flow_cert is not None:
+            flow_cert = flow_cert + (self.flow_provider.last_band,)
+        if self._is_single_image(i):
+            flow_cert = None
+        return frame, flow_cert, content_ph
 
     def _load_inputs(self, i: int):
         """Prefetchable bundle for frame i."""
@@ -150,6 +182,9 @@ class VideoDriver:
 
         if opt.create_inconsistent and opt.inconsistent_batch > 1:
             return self._run_batched(indices, progress)
+        if (getattr(self.flow_provider, "phased", False)
+                and not opt.create_inconsistent):
+            return self._run_phased(indices, progress)
 
         results: List[FrameResult] = []
         writer = pipeline.AsyncWriter()
@@ -194,6 +229,14 @@ class VideoDriver:
         # provider-side exact erosion (StreamingFlowProvider erode_window):
         # the engine must then skip its own full-res min-filter
         pre_eroded = bool(getattr(self.flow_provider, "erode_window", None))
+        if pre_eroded and reuse_k > 1:
+            # the reuse impls have no pre_eroded fast path — they would
+            # erode the already-eroded certainty a second time (the CLI
+            # never builds this combination; guard the direct API too)
+            raise ValueError(
+                "flow_provider.erode_window and feature_reuse > 1 are "
+                "mutually exclusive (the reuse steps apply the engine's "
+                "own occlusion min-filter)")
         try:
             for i, item in pipeline.Prefetcher(self._load_inputs, indices):
                 frame, flow_cert = item
@@ -262,6 +305,78 @@ class VideoDriver:
                 if need_host_prev:
                     last_stylized_host = np.asarray(out_full)
                 last_stylized = stylized
+                results.append(FrameResult(i, out_path, dt))
+        finally:
+            writer.close()
+        if self.eval_rows and opt.evaluation_file:
+            self._write_eval_file()
+        return results
+
+    def _run_phased(self, indices, progress: bool) -> List[FrameResult]:
+        """Phase-resident streaming loop (--phase_resident): the recurrence
+        carry, warp, certainty erosion and the whole net stay in the flat
+        16-phase quarter-res layout; the content space-to-depth runs on the
+        prefetch thread and the output depth-to-space on the writer thread,
+        so the device never relayouts a full-res tensor after frame 1
+        (BENCH_NOTES round 5 full-chain A/B). Semantics match run() exactly
+        (tests/test_cli_stylize.py phase-resident parity)."""
+        from ..ops import phase as phase_ops
+
+        opt = self.opt
+        if not self.engine.supports_phase_resident:
+            raise ValueError(
+                "phase-resident run needs an engine built with "
+                "apply_vid_phased (cli.stylize_video.build_engine wires it "
+                "for --phase_resident)")
+        if opt.scale_factor != 1.0 or opt.feature_reuse > 1:
+            raise ValueError("phase_resident is incompatible with "
+                             "scale_factor / feature_reuse")
+        results: List[FrameResult] = []
+        writer = pipeline.AsyncWriter()
+        last_ph = None  # phased recurrence carry (hq, wq, 48) f32, on device
+        last_stylized_host: Optional[np.ndarray] = None
+        if opt.continue_with > 1 and not opt.backward:
+            # resume: reload the last written frame into the phased carry and
+            # prime the provider with the last INPUT frame (same contract as
+            # run(); reference VR reload fast_artistic_video_vr.lua:576-583)
+            prev_path = self._out_path(opt.continue_with - 1)
+            if os.path.exists(prev_path):
+                prev_img = io.load_image(prev_path)
+                prev_in = self.load_frame_device(opt.continue_with - 1)
+                if (prev_in is not None and prev_img.shape[0] % 4 == 0
+                        and prev_img.shape[1] % 4 == 0):
+                    self.flow_provider(prev_in)
+                    last_ph = self.engine.to_phased(prev_img)
+        try:
+            for i, item in pipeline.Prefetcher(self._load_inputs_phased, indices):
+                frame, flow_cert, content_ph = item
+                t0 = time.monotonic()
+                out_path = self._out_path(i)
+                if flow_cert is None or last_ph is None:
+                    stylized, out_u8 = self.engine.stylize_first(
+                        frame, emit_u8=True)
+                    last_ph = self.engine.to_phased(stylized)
+                    writer.put(lambda p=out_path, s=out_u8:
+                               io.save_image(p, np.asarray(s)))
+                else:
+                    flow, cert, band = flow_cert
+                    last_ph, u8_ph = self.engine.stylize_next_phased(
+                        content_ph, last_ph, flow, cert, band, emit_u8=True)
+                    # writer thread runs the host depth-to-space on 6 MB of
+                    # uint8 — the device-side d2s relayout never happens
+                    writer.put(lambda p=out_path, s=u8_ph: io.save_image(
+                        p, phase_ops.d2s2_flat_np(np.asarray(s), 3)))
+                dt = time.monotonic() - t0
+                if progress:
+                    print(f"frame {i}: {dt*1000:.1f} ms -> {out_path}")
+                if self.eval_fn is not None:
+                    out_full = phase_ops.d2s2_flat_np(
+                        np.asarray(last_ph, np.float32), 3)
+                    row = self.eval_fn(i, np.asarray(frame, np.float32) / 255.0,
+                                       out_full, last_stylized_host)
+                    if row is not None:
+                        self.eval_rows.append(list(row))
+                    last_stylized_host = out_full
                 results.append(FrameResult(i, out_path, dt))
         finally:
             writer.close()

@@ -378,3 +378,77 @@ def test_cli_streaming_resume_continuity(clip, tmp_path):
     a = io.load_image(str(tmp_path / "full" / "out-00003.png"))
     b = io.load_image(str(tmp_path / "resume" / "out-00003.png"))
     np.testing.assert_allclose(a, b, atol=0.05)
+
+
+def test_cli_phase_resident_matches_plain(tmp_path, rng):
+    """--phase_resident must reproduce the plain streaming run: same
+    provider flow, exact phase-space certainty erosion
+    (ops.phase.eroded_cert_phased), 1-2 ULP warp difference, identical
+    net math — so the written PNGs may differ by at most one u8 step
+    (engine-level parity: tests/test_engine.py
+    test_phase_resident_step_matches_plain)."""
+    base = rng.random((64, 96, 3)).astype(np.float32)
+    for i in range(1, 5):
+        io.save_image(str(tmp_path / f"frame_{i:05d}.ppm"),
+                      np.roll(base, i * 2, axis=1))
+
+    for sub, extra in (("plain", []), ("phased", ["--phase_resident"])):
+        rc = stylize_video.main([
+            "--input_pattern", str(tmp_path / "frame_%05d.ppm"),
+            "--model_vid", "demo", "--flow_model", "bundled",
+            "--flow_scale", "0.5",
+            "--output_prefix", str(tmp_path / sub / "o"),
+            "--num_frames", "4",
+        ] + extra)
+        assert rc == 0
+    for i in range(1, 5):
+        a = io.load_image_u8(str(tmp_path / "plain" / f"o-{i:05d}.png"))
+        b = io.load_image_u8(str(tmp_path / "phased" / f"o-{i:05d}.png"))
+        diff = np.abs(a.astype(np.int32) - b.astype(np.int32))
+        assert diff.max() <= 1, f"frame {i}: max u8 diff {diff.max()}"
+
+
+def test_cli_phase_resident_resume_continuity(tmp_path, rng):
+    """Streaming resume in phase-resident mode: the reloaded PNG enters the
+    phased carry (engine.to_phased) and the provider is primed with the
+    last input frame — resumed output matches the uninterrupted run up to
+    the carry's PNG quantization."""
+    base = rng.random((64, 96, 3)).astype(np.float32)
+    for i in range(1, 4):
+        io.save_image(str(tmp_path / f"frame_{i:05d}.ppm"),
+                      np.roll(base, i * 2, axis=1))
+
+    def run(outdir, extra):
+        rc = stylize_video.main([
+            "--input_pattern", str(tmp_path / "frame_%05d.ppm"),
+            "--model_vid", "demo", "--flow_model", "bundled",
+            "--flow_scale", "0.5", "--phase_resident",
+            "--output_prefix", str(tmp_path / outdir / "out"),
+            "--num_frames", "3",
+        ] + extra)
+        assert rc == 0
+
+    run("full", [])
+    (tmp_path / "resume").mkdir(exist_ok=True)
+    for i in (1, 2):
+        src = io.load_image(str(tmp_path / "full" / f"out-{i:05d}.png"))
+        io.save_image(str(tmp_path / "resume" / f"out-{i:05d}.png"), src)
+    run("resume", ["--continue_with", "3"])
+    a = io.load_image(str(tmp_path / "full" / "out-00003.png"))
+    b = io.load_image(str(tmp_path / "resume" / "out-00003.png"))
+    np.testing.assert_allclose(a, b, atol=0.05)
+
+
+def test_cli_phase_resident_flag_validation(tmp_path):
+    """--phase_resident without a streaming flow model (or with full-res
+    flow) must be rejected at argument-parse time."""
+    model_vid = str(tmp_path / "vid.npz")
+    _save_tiny_model(model_vid, 7)
+    with pytest.raises(SystemExit):
+        stylize_video.main([
+            "--model_vid", model_vid,
+            "--input_pattern", str(tmp_path / "frame_%05d.ppm"),
+            "--flow_pattern", "f_[%d]_{%d}.flo",
+            "--occlusions_pattern", "r_[%d]_{%d}.pgm",
+            "--phase_resident",
+        ])
