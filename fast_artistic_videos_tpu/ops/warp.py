@@ -66,6 +66,15 @@ def _warp_single(img, flow):
     return out.astype(img.dtype)
 
 
+# Bands at or below this unroll the tap ladder to static slices; larger
+# bands ride a fori_loop (full-res path only — see _warp_banded_phased for
+# why the phased form must always unroll). Module-level so the hardware
+# form sweep (tools/profile_warp_forms.py) can measure both forms at every
+# band; the default is set from that sweep's 1080p data (BENCH_NOTES
+# round 5).
+_UNROLL_LIMIT = 16
+
+
 def _warp_banded_single(img, flow, band: int):
     """Gather-free warp for |flow| <= band (exclusive of the +1 bilinear tap).
 
@@ -95,7 +104,7 @@ def _warp_banded_single(img, flow, band: int):
     # unrolled form lets XLA fuse all taps into one kernel — measured 18%
     # faster inside the flow refine program at band 8. Large bands keep the
     # loop (130+ unrolled taps balloon compile time for a few ms of win).
-    unroll = band <= 16
+    unroll = band <= _UNROLL_LIMIT
 
     def banded_pass(x, off, axis):
         """x: (H, W, C); off: per-pixel fractional offset along `axis`."""
@@ -204,13 +213,15 @@ def _warp_banded_phased(img, flow, band: int):
                     (pw if wrap else pk)[src * co + c, j] = 1.0
         return jnp.asarray(pk, cdt), jnp.asarray(pw, cdt)
 
-    # Small bands unroll to static slices (same rule as the full-res
-    # banded pass); at band > 16 the unrolled tap ladder loses badly on
-    # TPU (measured 1080p: 3.36 ms at band 16 but 9.74/11.19 ms at band
-    # 24/32, where the full-res fori_loop form runs 3.1-3.8 ms —
-    # BENCH_NOTES round 5), so large bands ride a fori_loop over the
-    # block shifts of each residue, with the rotation matmuls hoisted.
-    unroll = band <= 16
+    # The phased form ALWAYS unrolls. A fori_loop over the block shifts of
+    # each residue (rotation matmuls hoisted) was tried and is pathological
+    # on TPU: 46.5 / 60.4 ms at 1080p band 24/32 vs 9.7/11.2 unrolled —
+    # the dynamic-slice chain serializes ~17 dependent full-tensor passes
+    # per residue AND breaks the coeff/accumulate fusion that makes the
+    # unrolled ladder viable (hardware sweep, BENCH_NOTES round 5). The
+    # full-res fori form does not suffer this (3.1-3.8 ms at band 24/32);
+    # large-band phased steps should instead warp at full res through a
+    # d2s/s2d pair (see StylizerEngine._next_phased_impl's dispatch).
 
     def banded_pass(x, off, axis, vertical):
         n = x.shape[axis]
@@ -233,23 +244,10 @@ def _warp_banded_phased(img, flow, band: int):
                 y = (jnp.matmul(base, pk, precision="highest")
                      + jnp.matmul(shift1, pw, precision="highest"))
             ms = [m for m in range(-band, band + 2) if m % 4 == u]
-            if unroll:
-                for m in ms:
-                    sm = (m - u) // 4
-                    g = jax.lax.slice_in_dim(y, P + sm, P + sm + n, axis=axis)
-                    acc = acc + g * coeff(w0, rel, m)
-                continue
-            sm_lo = (ms[0] - u) // 4
-
-            def body(j, a, y=y, u=u, sm_lo=sm_lo):
-                sm = sm_lo + j
-                g = jax.lax.dynamic_slice_in_dim(y, P + sm, n, axis=axis)
-                k = (4 * sm + u + band).astype(rdt)  # fits rdt: <= 2*band+1
-                c = (jnp.where(rel == k, w0, 0.0)
-                     + jnp.where(rel == k - rdt(1), 1.0 - w0, 0.0))
-                return a + g * c
-
-            acc = jax.lax.fori_loop(0, len(ms), body, acc)
+            for m in ms:
+                sm = (m - u) // 4
+                g = jax.lax.slice_in_dim(y, P + sm, P + sm + n, axis=axis)
+                acc = acc + g * coeff(w0, rel, m)
         return acc
 
     v = banded_pass(img, dy, axis=0, vertical=True)
