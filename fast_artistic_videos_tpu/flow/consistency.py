@@ -117,9 +117,10 @@ def _sample_flow_strict(flow2, bx, by):
     return uv, in_bounds
 
 
-@functools.partial(jax.jit, static_argnames=("use_structure", "band", "rho"))
+@functools.partial(jax.jit, static_argnames=("use_structure", "band", "rho",
+                                              "warp_limit"))
 def _consistency_impl(flow1, flow2, image, use_structure: bool, band=None,
-                      rho: float = 3.0):
+                      rho: float = 3.0, warp_limit=None):
     # the structure tensor runs INSIDE the jit: eager, its ~40 elementwise /
     # slice ops each paid a dispatch round trip (380 ms at 1080p through the
     # axon tunnel vs ~15 ms compiled)
@@ -169,6 +170,17 @@ def _consistency_impl(flow1, flow2, image, use_structure: bool, band=None,
     reliable = jnp.where(is_boundary, MOTION_BOUNDARY_VALUE, reliable)
     reliable = jnp.where(inconsistent, 0.0, reliable)
     reliable = jnp.where(in_bounds, reliable, 0.0)
+    if warp_limit is not None:
+        # warp-band backstop: the engine's banded warp only covers
+        # |flow| <= warp_limit (in flow1's own pixel units); pixels beyond
+        # it would sample garbage, so mark them unreliable — they fall
+        # back to occlusion fill, the conservative direction (same story
+        # as flow overshooting the consistency band). Lets the provider
+        # size the ENGINE band to the actual flow bucket instead of the
+        # 2x round-trip coverage this check needs.
+        over = jnp.maximum(jnp.abs(flow1[..., 0]),
+                           jnp.abs(flow1[..., 1])) > warp_limit
+        reliable = jnp.where(over, 0.0, reliable)
     return jnp.clip(reliable, 0.0, 255.0)
 
 
@@ -230,10 +242,10 @@ def _eroded_nearest_up(mask, fh: int, fw: int, window: int):
 
 @functools.partial(jax.jit,
                    static_argnames=("out_hw", "use_structure", "band", "rho",
-                                    "erode_window"))
+                                    "erode_window", "warp_limit"))
 def _consistency_streaming_impl(flow1, flow2, image, out_hw,
                                 use_structure: bool, band, rho: float,
-                                erode_window=None):
+                                erode_window=None, warp_limit=None):
     hs, ws = flow1.shape[0], flow1.shape[1]
     h, w = out_hw
     if image.dtype == jnp.uint8:
@@ -243,6 +255,16 @@ def _consistency_streaming_impl(flow1, flow2, image, out_hw,
     if use_structure and image.shape[:2] != (hs, ws):
         image = jax.image.resize(image, (hs, ws, image.shape[2]), "bilinear")
     mask = _consistency_impl(flow1, flow2, image, use_structure, band, rho)
+    if warp_limit is not None:
+        # warp-band backstop at flow res (see _consistency_impl): the
+        # engine's FULL-RES flow is a bilinear upsample of flow1, so a
+        # full-res pixel mixes up to 2x2 flow-res neighbors — a violating
+        # neighbor can push it past the band while its nearest-up cert
+        # comes from a compliant one; dilating violations by one flow-res
+        # pixel (min-pool of compliance) covers that exactly.
+        ok = (jnp.maximum(jnp.abs(flow1[..., 0]), jnp.abs(flow1[..., 1]))
+              <= warp_limit).astype(jnp.float32)
+        mask = mask * _minpool_axis(_minpool_axis(ok, -1, 1, 0), -1, 1, 1)
     if (hs, ws) != (h, w):
         fh, fw = h // hs, w // ws
         if (fh * hs, fw * ws) == (h, w):
@@ -264,13 +286,18 @@ def _consistency_streaming_impl(flow1, flow2, image, out_hw,
 
 def consistency_mask_streaming(flow1, flow2, image=None, out_hw=None,
                                rho: float = 3.0, band=None,
-                               erode_window=None):
+                               erode_window=None, warp_limit=None):
     """Consistency check at the flow's NATIVE resolution, mask upsampled
     (nearest) to `out_hw`.
 
     erode_window: also apply the engine's occlusion min-filter HERE, at
     flow resolution (exact — see _eroded_nearest_up), so the engine can
     skip its full-res erosion (StylizerEngine pre_eroded).
+
+    warp_limit: engine warp band in flow1's OWN pixel units; pixels whose
+    flow exceeds it (dilated by one flow-res pixel for the bilinear
+    upsample) are marked unreliable so the engine's banded warp never
+    samples out-of-band (see _consistency_streaming_impl).
 
     The streaming provider estimates flow at `flow_scale` resolution; running
     the check there instead of on the upsampled full-res flow costs ~4x/16x
@@ -282,55 +309,71 @@ def consistency_mask_streaming(flow1, flow2, image=None, out_hw=None,
     the banded sample (README faithful-vs-fixed).
     """
     out_hw = tuple(out_hw) if out_hw is not None else flow1.shape[:2]
+    if warp_limit is not None:
+        warp_limit = float(warp_limit)
     if image is not None:
         return _consistency_streaming_impl(
             flow1, flow2, image, out_hw, True, band, float(rho),
-            erode_window) / 255.0
+            erode_window, warp_limit) / 255.0
     dummy = jnp.zeros(flow1.shape[:2] + (1,), jnp.float32)
     return _consistency_streaming_impl(
         flow1, flow2, dummy, out_hw, False, band, float(rho),
-        erode_window) / 255.0
+        erode_window, warp_limit) / 255.0
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("out_hw", "use_structure", "band", "rho"))
+                   static_argnames=("out_hw", "use_structure", "band", "rho",
+                                    "warp_limit"))
 def _consistency_streaming_batch_impl(flow1, flow2, image, out_hw,
-                                      use_structure: bool, band, rho: float):
+                                      use_structure: bool, band, rho: float,
+                                      warp_limit=None):
     def one(a, b, im):
         return _consistency_streaming_impl(a, b, im, out_hw, use_structure,
-                                           band, rho)
+                                           band, rho,
+                                           warp_limit=warp_limit)
 
     return jax.vmap(one)(flow1, flow2, image)
 
 
 def consistency_mask_streaming_batch(flow1, flow2, images=None, out_hw=None,
-                                     rho: float = 3.0, band=None):
+                                     rho: float = 3.0, band=None,
+                                     warp_limit=None):
     """Batched `consistency_mask_streaming`: flow1/flow2 (N, H, W, 2),
     images (N, H, W, C) or None. One program checks all N pairs (the VR
     driver's 6 faces); per-item structure normalization matches N
     independent calls exactly."""
     out_hw = tuple(out_hw) if out_hw is not None else flow1.shape[1:3]
+    if warp_limit is not None:
+        warp_limit = float(warp_limit)
     if images is not None:
         return _consistency_streaming_batch_impl(
-            flow1, flow2, images, out_hw, True, band, float(rho)) / 255.0
+            flow1, flow2, images, out_hw, True, band, float(rho),
+            warp_limit) / 255.0
     dummy = jnp.zeros(flow1.shape[:3] + (1,), jnp.float32)
     return _consistency_streaming_batch_impl(
-        flow1, flow2, dummy, out_hw, False, band, float(rho)) / 255.0
+        flow1, flow2, dummy, out_hw, False, band, float(rho),
+        warp_limit) / 255.0
 
 
-def consistency_mask(flow1, flow2, image=None, rho: float = 3.0, band=None):
+def consistency_mask(flow1, flow2, image=None, rho: float = 3.0, band=None,
+                     warp_limit=None):
     """Reliability of flow1 cross-checked against flow2.
 
     flow1/flow2: (H, W, 2) float32 (dx, dy). image: optional (H, W, C) in
     [0, 1] (converted to the reference's 0-255 scale internally). band:
     static |flow| bound enabling the banded (gather-free) sample — ~6x
     faster on TPU, used by the streaming provider; None keeps the exact
-    reference semantics for file-parity tools.
+    reference semantics for file-parity tools. warp_limit: engine warp
+    band; |flow1| beyond it is marked unreliable (see _consistency_impl).
     Returns float32 (H, W) in [0, 1] — divide-by-255 of the reference PGM.
     """
+    if warp_limit is not None:
+        warp_limit = float(warp_limit)
     if image is not None:
-        out = _consistency_impl(flow1, flow2, image, True, band, float(rho))
+        out = _consistency_impl(flow1, flow2, image, True, band, float(rho),
+                                warp_limit=warp_limit)
     else:
         dummy = jnp.zeros(flow1.shape[:2] + (1,), jnp.float32)
-        out = _consistency_impl(flow1, flow2, dummy, False, band, float(rho))
+        out = _consistency_impl(flow1, flow2, dummy, False, band, float(rho),
+                                warp_limit=warp_limit)
     return out / 255.0

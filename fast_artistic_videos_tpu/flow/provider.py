@@ -123,21 +123,33 @@ class StreamingFlowProvider:
             maxabs.copy_to_host_async()  # start the 4-byte D2H now; the
         except AttributeError:           # float() next step finds it ready
             pass
-        band = 2 * flow_band(float(prev_maxabs if prev_maxabs is not None
+        # Two distinct bands from the same flow bucket: the consistency
+        # check composes a round trip (f1 then f2), so ITS banded sample
+        # needs 2x coverage; the ENGINE's prior warp only moves by f1, so
+        # its band is the plain bucket — half the taps (warp cost is linear
+        # in band: 1080p flow@0.5 runs band 16 instead of 32). Pixels whose
+        # flow exceeds the engine band are marked unreliable inside the
+        # consistency program (warp_limit backstop), so the narrower band
+        # can never sample garbage into a trusted prior.
+        warp_low = flow_band(float(prev_maxabs if prev_maxabs is not None
                                    else maxabs))
+        band = 2 * warp_low
         image = jnp.asarray(frame) if self.use_structure else None
         if lowres:
-            # maxabs/band are in estimation-res pixel units here; the warp
-            # band the engine needs covers the upsampled full-res flow
+            # maxabs/band/warp_low are in estimation-res pixel units here;
+            # the warp band the engine needs covers the upsampled full-res
+            # flow (upsampling scales values by out/in size)
+            self.last_band = flow_band(warp_low / self.flow_scale)
+            limit_low = self.last_band * bwd_low.shape[0] / frame.shape[0]
             cert = consistency.consistency_mask_streaming(
                 bwd_low, fwd_low, image,
                 out_hw=None if self.phased else frame.shape[:2], band=band,
-                erode_window=self.erode_window)
-            self.last_band = flow_band(band / self.flow_scale)
+                erode_window=self.erode_window, warp_limit=limit_low)
         else:
+            self.last_band = warp_low  # warp-band hint for the engine step
             cert = consistency.consistency_mask(backward, forward, image,
-                                                band=band)
-            self.last_band = band  # warp-band hint for the engine step
+                                                band=band,
+                                                warp_limit=float(warp_low))
         return backward, cert
 
 
@@ -189,13 +201,19 @@ class BatchedStreamingFlowProvider:
             maxabs.copy_to_host_async()
         except AttributeError:
             pass
-        band = 2 * flow_band(float(prev_maxabs if prev_maxabs is not None
+        # engine band = plain bucket, consistency band = 2x (round-trip
+        # coverage); out-of-engine-band pixels are masked unreliable — see
+        # StreamingFlowProvider.__call__.
+        warp_low = flow_band(float(prev_maxabs if prev_maxabs is not None
                                    else maxabs))
+        band = 2 * warp_low
         images = frames if self.use_structure else None
-        certs = consistency.consistency_mask_streaming_batch(
-            bwd_low, fwd_low, images, out_hw=(h, w), band=band)
         if self.flow_scale != 1.0:
-            self.last_band = flow_band(band / self.flow_scale)
+            self.last_band = flow_band(warp_low / self.flow_scale)
         else:
-            self.last_band = band
+            self.last_band = warp_low
+        limit_low = self.last_band * bwd_low.shape[1] / h
+        certs = consistency.consistency_mask_streaming_batch(
+            bwd_low, fwd_low, images, out_hw=(h, w), band=band,
+            warp_limit=limit_low)
         return [(backward[i], certs[i]) for i in range(n)]

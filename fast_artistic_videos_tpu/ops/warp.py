@@ -70,9 +70,21 @@ def _warp_single(img, flow):
 # bands ride a fori_loop (full-res path only — see _warp_banded_phased for
 # why the phased form must always unroll). Module-level so the hardware
 # form sweep (tools/profile_warp_forms.py) can measure both forms at every
-# band; the default is set from that sweep's 1080p data (BENCH_NOTES
-# round 5).
+# band; the default is set from that sweep's data (BENCH_NOTES round 5).
 _UNROLL_LIMIT = 16
+
+# ... but only BELOW this pixel area: the round-2 unroll win was measured
+# inside the flow refine program at pyramid-level grids, and at frame
+# scale the sweep shows the opposite (1080p band 16: unrolled 4.33 ms vs
+# fori 2.89 — the 34-tap unrolled ladder's fused kernel loses to the
+# serial dynamic-slice chain once each tap pass streams megabytes). At
+# 544x960 and below the two forms are within noise, so the refine-program
+# fusion result decides there (BENCH_NOTES round 5 form sweep).
+_UNROLL_AREA = 600_000
+
+# Phased bands at or above this dispatch to d2s -> full-res warp -> s2d
+# inside the same program (tools/profile_warp_forms.py, BENCH_NOTES r5).
+_PHASED_HYBRID_BAND = 48
 
 
 def _warp_banded_single(img, flow, band: int):
@@ -99,12 +111,13 @@ def _warp_banded_single(img, flow, band: int):
     h, w = img.shape[0], img.shape[1]
     cdt = jnp.promote_types(img.dtype, jnp.float32)
     taps = 2 * band + 2
-    # Small bands unroll to static slices: fori_loop's dynamic_slice chain
-    # serializes on device (each tap a dependent tiny op), while the
-    # unrolled form lets XLA fuse all taps into one kernel — measured 18%
-    # faster inside the flow refine program at band 8. Large bands keep the
-    # loop (130+ unrolled taps balloon compile time for a few ms of win).
-    unroll = band <= _UNROLL_LIMIT
+    # Small bands on SMALL grids unroll to static slices: fori_loop's
+    # dynamic_slice chain serializes on device (each tap a dependent tiny
+    # op), while the unrolled form lets XLA fuse all taps into one kernel —
+    # measured 18% faster inside the flow refine program at band 8. At
+    # frame scale the economics invert (see _UNROLL_AREA) and large bands
+    # always keep the loop (130+ unrolled taps balloon compile time).
+    unroll = band <= _UNROLL_LIMIT and h * w <= _UNROLL_AREA
 
     def banded_pass(x, off, axis):
         """x: (H, W, C); off: per-pixel fractional offset along `axis`."""
@@ -165,6 +178,17 @@ def _warp_banded_phased(img, flow, band: int):
     cdt = jnp.promote_types(img.dtype, jnp.float32)
     if flow.ndim == 4:
         flow = flow.reshape(hq, wq, 32)
+    if band >= _PHASED_HYBRID_BAND:
+        # very large bands: the unrolled phased ladder's per-tap cost
+        # overtakes the full d2s -> full-res fori warp -> s2d roundtrip
+        # (1080p band 48: 14.5 vs 11.5 ms, tools/profile_warp_forms.py);
+        # numerically this IS the parity definition of the phased warp
+        from . import phase as phase_ops
+
+        full = phase_ops.d2s2_flat(img[None], co)[0]
+        ffull = phase_ops.d2s2_flat(flow[None], 2)[0]
+        y = _warp_banded_single(full, ffull, band)
+        return phase_ops.s2d2_flat(y[None])[0]
     f4 = flow.reshape(hq, wq, 16, 2)
     dx = f4[..., 0].astype(cdt)
     dy = f4[..., 1].astype(cdt)

@@ -351,3 +351,46 @@ def test_streaming_erode_window_native_res():
         jnp.asarray(f1), jnp.asarray(f2), None, out_hw=(hs, ws), band=8,
         erode_window=7)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_warp_limit_backstop_streaming():
+    """warp_limit marks |flow| > limit unreliable, dilated by one flow-res
+    pixel (the engine's full-res flow bilinearly mixes 2x2 flow-res
+    neighbors); elsewhere the mask is untouched. This is what lets the
+    provider hand the engine the plain flow bucket as warp band instead of
+    the consistency check's 2x round-trip coverage."""
+    hs, ws, r = 16, 20, 2
+    f1 = np.zeros((hs, ws, 2), np.float32)
+    f1[...] = 2.0
+    f1[6:8, 9:11, 0] = 11.0  # beyond limit 8
+    f2 = -f1
+    base = np.asarray(consistency.consistency_mask_streaming(
+        jnp.asarray(f1), jnp.asarray(f2), None, out_hw=(hs * r, ws * r),
+        band=16))
+    got = np.asarray(consistency.consistency_mask_streaming(
+        jnp.asarray(f1), jnp.asarray(f2), None, out_hw=(hs * r, ws * r),
+        band=16, warp_limit=8.0))
+    # violating block + 1 flow-res pixel ring -> zero (in full-res coords)
+    assert got[5 * r:8 * r, 8 * r:12 * r].max() == 0.0
+    # outside the dilated ring: identical to the unlimited mask
+    keep = np.ones((hs * r, ws * r), bool)
+    keep[4 * r:9 * r, 7 * r:13 * r] = False
+    np.testing.assert_array_equal(got[keep], base[keep])
+
+
+def test_warp_limit_backstop_native_res():
+    """consistency_mask(warp_limit=L): native-res flow needs no dilation —
+    exactly the violating pixels are zeroed."""
+    h, w = 16, 16
+    f1 = np.zeros((h, w, 2), np.float32)
+    f1[..., 0] = 3.0
+    f1[5, 5, 1] = -9.0
+    f2 = -f1
+    base = np.asarray(consistency.consistency_mask(
+        jnp.asarray(f1), jnp.asarray(f2), band=16))
+    got = np.asarray(consistency.consistency_mask(
+        jnp.asarray(f1), jnp.asarray(f2), band=16, warp_limit=8.0))
+    assert got[5, 5] == 0.0
+    keep = np.ones((h, w), bool)
+    keep[5, 5] = False
+    np.testing.assert_array_equal(got[keep], base[keep])

@@ -506,3 +506,26 @@ def test_fast_check_batched_matches_single(rng):
                                    atol=1e-4, rtol=1e-4)
         np.testing.assert_allclose(np.asarray(low_ba[i]), np.asarray(ba_one),
                                    atol=1e-4, rtol=1e-4)
+
+
+def test_provider_engine_band_is_plain_bucket(rng):
+    """The engine warp band must be sized from the plain flow bucket, not
+    the consistency check's 2x round-trip coverage (1080p flow@0.5 ran
+    band 32 where 16 covers the flow — warp cost is linear in band). The
+    warp_limit backstop inside the consistency program makes the narrower
+    band safe (tests/test_consistency.py warp-limit tests)."""
+    from fast_artistic_videos_tpu.ops.warp import flow_band
+    from fast_artistic_videos_tpu.flow.provider import StreamingFlowProvider
+
+    params = estimator.init_params(jax.random.PRNGKey(0))
+    for scale in (0.5, 1.0):
+        provider = StreamingFlowProvider(params, use_structure=False,
+                                         flow_scale=scale)
+        f1 = _smooth_image(rng, 48, 64)
+        provider(f1)
+        provider(np.roll(f1, 3, axis=1))
+        m_prev = float(provider._pending_maxabs)  # pair-1 max |flow|
+        provider(np.roll(f1, 5, axis=1))
+        want = flow_band(flow_band(m_prev) / scale) if scale != 1.0 \
+            else flow_band(m_prev)
+        assert provider.last_band == want

@@ -120,6 +120,27 @@ def test_bilinear_warp_phased_band_not_multiple_of_4():
                                rtol=0, atol=1e-6)
 
 
+def test_bilinear_warp_phased_hybrid_large_band():
+    """band >= _PHASED_HYBRID_BAND dispatches to d2s -> full-res warp ->
+    s2d inside the same program (the unrolled phased ladder loses to the
+    layout roundtrip at large bands on TPU, tools/profile_warp_forms.py);
+    numerically that IS the phased warp's parity definition, so the match
+    is exact."""
+    from fast_artistic_videos_tpu.ops import warp
+
+    rng = _rng(14)
+    h, w, c = 64, 80, 3
+    img = rng.random((h, w, c)).astype(np.float32)
+    flow = (rng.random((h, w, 2)).astype(np.float32) - 0.5) * 80.0
+    band = warp._PHASED_HYBRID_BAND
+    want = warp.bilinear_warp(jnp.asarray(img), jnp.asarray(flow), band=band)
+    wantp = phase.s2d2_flat(want[None])[0]
+    got = warp.bilinear_warp_phased(
+        phase.s2d2_flat(jnp.asarray(img)[None])[0],
+        phase.s2d2_flat(jnp.asarray(flow)[None])[0], band=band)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(wantp))
+
+
 def test_bilinear_warp_phased_integer_shift():
     from fast_artistic_videos_tpu.ops import warp
 

@@ -11,9 +11,11 @@ Round-5 questions this answers (BENCH_NOTES round 5):
    jit" (hybrid) overtake the unrolled phased ladder, if ever? That sets
    the engine-level dispatch for large-band phased steps.
 
-Usage: PYTHONPATH=/root/repo:$PYTHONPATH python tools/profile_warp_forms.py
+Usage: PYTHONPATH=/root/repo:$PYTHONPATH python tools/profile_warp_forms.py [H W]
+(default 1080 1920; pass e.g. 136 240 for the flow-refine grid scale)
 """
 
+import sys
 import time
 
 import numpy as np
@@ -25,7 +27,8 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
 from fast_artistic_videos_tpu.ops import phase as phase_ops
 from fast_artistic_videos_tpu.ops import warp as wm
 
-H, W = 1080, 1920
+H, W = (int(sys.argv[1]), int(sys.argv[2])) if len(sys.argv) > 2 \
+    else (1080, 1920)
 N = 30
 
 
@@ -75,10 +78,11 @@ def main():
 
         for form, limit in (("unroll", 10_000), ("fori", 0)):
             wm._UNROLL_LIMIT = limit
+            wm._UNROLL_AREA = 10 ** 12  # force the band rule to decide
             jf = jax.jit(lambda p, f, band=band: wm._warp_banded_single(
                 p, f, band))
             rows.append((f"full {form}", chain(jf, prev, flow)))
-        wm._UNROLL_LIMIT = 16
+        wm._UNROLL_LIMIT, wm._UNROLL_AREA = 16, 600_000
 
         jp = jax.jit(lambda p, f, band=band: wm._warp_banded_phased(
             p, f, band))
