@@ -1,29 +1,43 @@
 """Benchmark: streaming video stylization throughput on one chip.
 
-Round-4 rewrite: drives the SHIPPED streaming classes — the exact code
-path of `cli/stylize_video --flow_model` — instead of a hand-inlined
-copy of the loop (the two had drifted by ~2 ms/frame in round 3):
+Drives the SHIPPED streaming classes — the exact per-frame device path of
+`cli/stylize_video --flow_model` (plain and --phase_resident modes) and the
+VRDriver's per-face loop — on VIDEO-LIKE content:
 
-  flow.provider.StreamingFlowProvider   (pyramid + refine_pair +
-                                         consistency + flow-res erosion)
-  video.engine.StylizerEngine           (warp + mask/fill + 7-channel
-                                         assembly + canonical stylizer,
-                                         bf16, uint8 in / uint8 out fused)
+  * frames are deterministic ping-pong pans over the bundled natural photo
+    (assets/eval/photo_scene.png), so the optical flow is a known constant
+    displacement and the warp-band ladder runs at its realistic bucket
+    (the round-4 bench fed i.i.d. noise through a random-init estimator —
+    the measured band was whatever random weights emit on noise);
+  * the flow estimator runs the bundled trained checkpoint
+    (assets/flow_pwclite.npz), same as `--flow_model bundled`;
+  * the VR scenario drives the real dataflow: evolving stylized segments
+    feed the border priors, blend_other_sides and the median/u8 output
+    stage every frame (round-4 medianed frozen input faces instead).
 
-Frames are chained through the temporal recurrence like real video.
 Prints one JSON line per scenario; the FIRST is the headline BASELINE.md
-metric (>= 30 fps at 1080p on one TPU v5e chip):
+metric (>= 30 fps at 1080p on one TPU v5e chip). Each line carries the
+warp band the engine actually ran and the mode that produced the number:
 
-  {"metric": "streaming_fps_1080p", ...,  "vs_baseline": fps/30}
-  {"metric": "streaming_fps_4k", ...,     "vs_baseline": fps/8}   (round-4 target)
-  {"metric": "vr_fps_922px_faces", ...,   "vs_baseline": fps/10}  (round-4 target)
+  {"metric": "streaming_fps_1080p", ..., "vs_baseline": fps/30,
+   "band": N, "mode": "plain"|"phase_resident"}
+  {"metric": "streaming_fps_4k", ...,  "vs_baseline": fps/8}   (round-4 target)
+  {"metric": "vr_fps_922px_faces", ..., "vs_baseline": fps/10} (round-4 target)
+
+The 1080p/4K lines report the better of plain vs phase-resident — both are
+one CLI flag apart on the same checkpoint and produce u8-identical frames
+(tests/test_cli_stylize.py phase-resident parity); the losing mode is
+emitted too (metric suffix `_alt`) so regressions in either path surface.
 
 Timing uses chained dispatch with a single scalar readback per trial
-(block_until_ready is a no-op on the axon transport). On CPU only the
-1080p line runs (the driver's capture environment is the TPU).
+(block_until_ready is a no-op on the axon transport); frames are
+pre-staged on device (uploads overlap with compute in the real driver's
+prefetch thread and are artifacts of the tunnel). On CPU only the 1080p
+plain line runs (the driver's capture environment is the TPU).
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -36,53 +50,91 @@ import jax.numpy as jnp
 # cold compile of the streaming-set jits.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
 
+import fast_artistic_videos_tpu
 from fast_artistic_videos_tpu.flow import estimator as fest
 from fast_artistic_videos_tpu.flow.provider import (
     BatchedStreamingFlowProvider, StreamingFlowProvider)
 from fast_artistic_videos_tpu.models import arch_dsl, stylizer
+from fast_artistic_videos_tpu.ops import phase as phase_ops
 from fast_artistic_videos_tpu.video.engine import EngineConfig, StylizerEngine
 
 OCC_WINDOW = 7  # EngineConfig.occlusions_min_filter default
+ASSETS = os.path.join(os.path.dirname(fast_artistic_videos_tpu.__file__),
+                      "assets")
 
 
-def _canonical_engine(spec, params):
+def _pan_frames_u8(H, W, dx, dy, k=4):
+    """Deterministic video-like content: the bundled natural photo tiled to
+    (H, W) and ping-pong panned by (dx, dy) px/frame over k positions —
+    every consecutive pair has |flow| = max(dx, dy), so the provider's
+    band bucket is pinned to the realistic value for that motion, and the
+    cycle (period 2k-2) never presents the estimator a discontinuous jump.
+    """
+    from fast_artistic_videos_tpu.core import io as fio
+
+    base = fio.load_image_u8(os.path.join(ASSETS, "eval", "photo_scene.png"))
+    reps = (-(-H // base.shape[0]), -(-W // base.shape[1]), 1)
+    img = np.tile(base, reps)[:H, :W]
+    pos = list(range(k)) + list(range(k - 2, 0, -1))
+    return [np.roll(np.roll(img, p * dx, axis=1), p * dy, axis=0)
+            for p in pos]
+
+
+def _canonical_engine(spec, params, phased=False):
+    kw = {}
+    if phased:
+        kw = dict(
+            apply_vid_phased=lambda p, x: stylizer.apply(
+                p, spec, x, dtype=jnp.bfloat16, phase_input=True,
+                phase_output=True, fold_preprocess=True),
+            phase_pad_blocks=spec.input_pad // 4,
+        )
     return StylizerEngine(
         lambda p, x: stylizer.apply(p, spec, x, dtype=jnp.bfloat16),
         params, stride_multiple=spec.total_stride,
-        config=EngineConfig(dtype="bfloat16"))
+        config=EngineConfig(dtype="bfloat16"), **kw)
 
 
-def run_2d(H, W, flow_scale, n, trials=3):
-    """ms/frame for the shipped 2D streaming chain (uint8 frames staged on
-    device; uploads overlap with compute in the real driver and are
-    artifacts of the axon tunnel)."""
+def run_2d(H, W, flow_scale, n, dx, dy, trials=3, phased=False):
+    """(ms/frame, band) for the shipped 2D streaming chain — the device
+    path of `cli/stylize_video --flow_model bundled [--phase_resident]`."""
     spec = arch_dsl.parse_arch("canonical", in_channels=7)
     params = stylizer.init_params(jax.random.PRNGKey(0), spec)
-    eng = _canonical_engine(spec, params)
-    est = fest.FlowEstimator(fest.init_params(jax.random.PRNGKey(1)),
+    eng = _canonical_engine(spec, params, phased=phased)
+    est = fest.FlowEstimator(fest.load_params("bundled"),
                              dtype=jnp.bfloat16)
     provider = StreamingFlowProvider(
-        flow_estimator=est, flow_scale=flow_scale, erode_window=OCC_WINDOW)
+        flow_estimator=est, flow_scale=flow_scale,
+        erode_window=None if phased else OCC_WINDOW, phased=phased)
 
-    rng = np.random.default_rng(0)
-    frames = [jnp.asarray(rng.integers(0, 256, (H, W, 3), dtype=np.uint8))
-              for _ in range(2)]
-    provider(frames[0])
-    state = {"y": eng.stylize_first(frames[0]), "i": 1, "u8": None}
+    frames_np = _pan_frames_u8(H, W, dx, dy)
+    frames_u8 = [jnp.asarray(f) for f in frames_np]
+    frames_ph = ([jnp.asarray(phase_ops.s2d2_flat_np(f)) for f in frames_np]
+                 if phased else None)
+    period = len(frames_np)
+
+    provider(frames_u8[0])
+    y0 = eng.stylize_first(frames_u8[0])
+    state = {"y": eng.to_phased(y0) if phased else y0, "i": 1, "u8": None}
 
     def step():
         i = state["i"]
-        u8 = frames[i % 2]
+        u8 = frames_u8[i % period]
         flow, cert = provider(u8)
-        state["y"], state["u8"] = eng.stylize_next(
-            u8, state["y"], flow, cert, band_hint=provider.last_band,
-            emit_u8=True, pre_eroded=True)
+        if phased:
+            state["y"], state["u8"] = eng.stylize_next_phased(
+                frames_ph[i % period], state["y"], flow, cert,
+                provider.last_band, emit_u8=True)
+        else:
+            state["y"], state["u8"] = eng.stylize_next(
+                u8, state["y"], flow, cert, band_hint=provider.last_band,
+                emit_u8=True, pre_eroded=True)
         state["i"] = i + 1
 
     def sync():
         return float(jnp.sum(state["u8"].astype(jnp.float32)))
 
-    for _ in range(4):  # band buckets stabilize + all programs compile
+    for _ in range(period + 2):  # band buckets stabilize + programs compile
         step()
     sync()
     best = float("inf")
@@ -92,15 +144,19 @@ def run_2d(H, W, flow_scale, n, trials=3):
             step()
         sync()
         best = min(best, (time.monotonic() - t0) / n)
-    return best * 1e3
+    return best * 1e3, provider.last_band
 
 
-def run_vr(face, flow_scale, n):
-    """ms/frame for the VR per-frame device path at production face sizes:
-    batched 6-face flow + 6 face steps (erode + border prior + temporal
-    blend + stylize) + cross-face blend + median — the VRDriver's real
-    stage functions (reference production setup: 768-px cube edges,
-    expand 1.2 -> ~922-px faces, transformVRVideo.sh:14-15,27-32)."""
+def run_vr(face, flow_scale, n, dx=8, dy=2):
+    """(ms/frame, band) for the VR driver's real per-frame dataflow at
+    production face sizes (reference setup: 768-px cube edges, expand
+    1.2 -> ~922-px faces, transformVRVideo.sh:14-15,27-32): batched 6-face
+    flow, then per face erode + border prior from the CURRENT frame's
+    already-stylized segments + temporal blend with the PREVIOUS frame's
+    blended segment + stylize, then blend_other_sides and the fused
+    median/u8 output stage — the same stage sequence as VRDriver.run
+    (video/driver_vr.py:493-546), with the stylized segments evolving
+    through the recurrence exactly as shipped."""
     from fast_artistic_videos_tpu.ops import filters
     from fast_artistic_videos_tpu.video.driver_vr import (
         VRDriver, VROptions, _Geometry)
@@ -111,75 +167,107 @@ def run_vr(face, flow_scale, n):
     spec = arch_dsl.parse_arch("canonical", in_channels=7)
     params = stylizer.init_params(jax.random.PRNGKey(0), spec)
     engine = _canonical_engine(spec, params)
-    est = fest.FlowEstimator(fest.init_params(jax.random.PRNGKey(1)),
+    est = fest.FlowEstimator(fest.load_params("bundled"),
                              dtype=jnp.bfloat16)
     driver = VRDriver(engine, opt,
                       batched_flow_provider=BatchedStreamingFlowProvider(
                           flow_scale=flow_scale, flow_estimator=est))
     driver.geo = _Geometry(face, face, opt)
 
-    rng = np.random.default_rng(0)
-    faces = [jnp.asarray(rng.random((face, face, 3)), jnp.float32)
-             for _ in range(6)]
-    driver.segments = list(faces)
-    driver.prev_segments = list(faces)
-    stacks = [jnp.stack(faces), jnp.stack(faces[::-1])]
-    bfn = driver._border_fn(4)
-    bc = driver._border_cert(4)
-    ero = jax.jit(lambda c: filters.min_filter(
-        jnp.maximum(c, bc), opt.occlusions_min_filter))
-    tfn = driver._temporal_fn(4, band=16)
-    med = jax.jit(lambda x: filters.median_filter(x, 3))
-    driver.batched_flow(stacks[1])  # prime: first call only caches pyramids
-    state = {"i": 0, "y": None}
+    # 6 distinct pan streams (one per cube face), f32 content in [0, 1]
+    pans = _pan_frames_u8(face, face * 6, dx, dy)
+    period = len(pans)
+    stacks = [jnp.asarray(np.stack(
+        [p[:, k * face:(k + 1) * face] for k in range(6)]
+    ).astype(np.float32) / 255.0) for p in pans]
+
+    zeros = jnp.zeros((face, face, 3), jnp.float32)
+    driver.segments = [stacks[0][k] for k in range(6)]
+    driver.prev_segments = list(driver.segments)
+    bc = [driver._border_cert(pos) for pos in range(6)]
+    ero = jax.jit(lambda c: filters.min_filter(c, opt.occlusions_min_filter))
+    outputs_fn = driver._outputs_fn()
+    driver.batched_flow(stacks[0])  # prime: first call only caches pyramids
+    state = {"i": 1, "u8": None}
 
     def frame():
         i = state["i"]
-        streamed = driver.batched_flow(stacks[i % 2])
-        for k in range(6):
-            f, c = streamed[k]
-            c_er = ero(c)
-            b = bfn(*faces[:4])
-            prior = tfn(faces[4], f, b, c_er)
-            state["y"] = engine.stylize_with_prior(
-                faces[k], prior, c_er, erode_cert=False)
-        driver.blend_other_sides()
-        for s in faces:
-            state["y"] = med(s)
+        content = stacks[i % period]
+        streamed = driver.batched_flow(content)
+        band = driver.batched_flow.last_band
+        for pos in range(6):
+            f, c = streamed[pos]
+            cert_er = ero(jnp.maximum(c, bc[pos]))
+            if pos > 0:
+                border = driver._border_fn(pos)(*driver.segments[:4])
+            else:
+                border = zeros
+            prior = driver._temporal_fn(pos, band)(
+                driver.prev_segments[pos], f, border, cert_er)
+            driver.segments[pos] = engine.stylize_with_prior(
+                content[pos], prior.astype(jnp.float32), cert_er,
+                erode_cert=False)
+        driver.prev_segments = driver.blend_other_sides()
+        faces_u8, _, _ = outputs_fn(tuple(driver.prev_segments))
+        state["u8"] = faces_u8[0]
         state["i"] = i + 1
 
-    frame()
-    float(jnp.sum(state["y"]))
+    for _ in range(period + 1):  # bands stabilize + programs compile
+        frame()
+    float(jnp.sum(state["u8"].astype(jnp.float32)))
     best = float("inf")
     for _ in range(2):
         t0 = time.monotonic()
         for _ in range(n):
             frame()
-        float(jnp.sum(state["y"]))
+        float(jnp.sum(state["u8"].astype(jnp.float32)))
         best = min(best, (time.monotonic() - t0) / n)
-    return best * 1e3
+    return best * 1e3, driver.batched_flow.last_band
 
 
-def emit(metric, ms, target):
+def emit(metric, ms, target, band=None, mode=None):
     fps = 1000.0 / ms
-    print(json.dumps({
+    line = {
         "metric": metric,
         "value": round(fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(fps / target, 3),
-    }), flush=True)
+    }
+    if band is not None:
+        line["band"] = band
+    if mode is not None:
+        line["mode"] = mode
+    print(json.dumps(line), flush=True)
+
+
+def both_modes(H, W, flow_scale, n, dx, dy):
+    """Run plain and phase-resident; return [(ms, band, mode)] best-first."""
+    out = []
+    for phased in (False, True):
+        ms, band = run_2d(H, W, flow_scale, n, dx, dy, phased=phased)
+        out.append((ms, band, "phase_resident" if phased else "plain"))
+    return sorted(out)
 
 
 def main():
     platform = jax.devices()[0].platform
     on_tpu = platform != "cpu"
-    ms = run_2d(1080, 1920, 0.5, 30 if on_tpu else 3,
-                trials=3 if on_tpu else 1)
-    emit("streaming_fps_1080p", ms, 30.0)  # BASELINE.md headline
     if not on_tpu:
+        ms, band = run_2d(1080, 1920, 0.5, 3, dx=12, dy=3, trials=1)
+        emit("streaming_fps_1080p", ms, 30.0, band, "plain")
         return
-    emit("streaming_fps_4k", run_2d(2160, 3840, 0.25, 10), 8.0)
-    emit("vr_fps_922px_faces", run_vr(922, 0.5, 4), 10.0)
+    # 12 px/frame pan at 1080p: flow@0.5 sees ~6 px -> bucket 8 -> engine
+    # band 16 at full res — the typical-motion bucket (BENCH_NOTES r5)
+    r1080 = both_modes(1080, 1920, 0.5, 30, dx=12, dy=3)
+    emit("streaming_fps_1080p", r1080[0][0], 30.0,  # BASELINE.md headline
+         r1080[0][1], r1080[0][2])
+    emit("streaming_fps_1080p_alt", r1080[1][0], 30.0, r1080[1][1],
+         r1080[1][2])
+    r4k = both_modes(2160, 3840, 0.25, 10, dx=24, dy=6)
+    emit("streaming_fps_4k", r4k[0][0], 8.0, r4k[0][1], r4k[0][2])
+    emit("streaming_fps_4k_alt", r4k[1][0], 8.0, r4k[1][1], r4k[1][2])
+    ms, band = run_vr(922, 0.5, 4)
+    emit("vr_fps_922px_faces", ms, 10.0, band, "vr_driver")
 
 
 if __name__ == "__main__":

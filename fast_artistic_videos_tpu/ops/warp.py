@@ -83,7 +83,11 @@ _UNROLL_LIMIT = 16
 _UNROLL_AREA = 600_000
 
 # Phased bands at or above this dispatch to d2s -> full-res warp -> s2d
-# inside the same program (tools/profile_warp_forms.py, BENCH_NOTES r5).
+# inside the same program: the unrolled phased ladder's per-tap cost grows
+# linearly with band while the hybrid's layout-roundtrip tax is constant —
+# measured crossover at 1080p band 48 (ladder 11.68 vs hybrid 11.74 ms, a
+# tie, with the ladder pulling ahead below and the hybrid above;
+# tools/profile_warp_forms.py, BENCH_NOTES r5).
 _PHASED_HYBRID_BAND = 48
 
 
