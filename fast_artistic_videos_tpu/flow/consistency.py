@@ -118,9 +118,11 @@ def _sample_flow_strict(flow2, bx, by):
 
 
 @functools.partial(jax.jit, static_argnames=("use_structure", "band", "rho",
-                                              "warp_limit"))
+                                              "warp_limit",
+                                              "with_rel_maxabs"))
 def _consistency_impl(flow1, flow2, image, use_structure: bool, band=None,
-                      rho: float = 3.0, warp_limit=None):
+                      rho: float = 3.0, warp_limit=None,
+                      with_rel_maxabs: bool = False):
     # the structure tensor runs INSIDE the jit: eager, its ~40 elementwise /
     # slice ops each paid a dispatch round trip (380 ms at 1080p through the
     # axon tunnel vs ~15 ms compiled)
@@ -170,6 +172,22 @@ def _consistency_impl(flow1, flow2, image, use_structure: bool, band=None,
     reliable = jnp.where(is_boundary, MOTION_BOUNDARY_VALUE, reliable)
     reliable = jnp.where(inconsistent, 0.0, reliable)
     reliable = jnp.where(in_bounds, reliable, 0.0)
+    rel_max = None
+    if with_rel_maxabs:
+        # band-sizing signal: max |flow1| over pixels that PASS the check
+        # (computed BEFORE the warp_limit backstop, so genuine motion that
+        # outgrew the previous band still grows the next one). The raw max
+        # is hostage to border/occlusion garbage — new content entering the
+        # frame gets arbitrary flow that fails the round trip; sizing the
+        # warp band by it ran 1080p pans at band 32 where the true motion
+        # needs 16 (BENCH_NOTES round 5). Escape hatch: when almost nothing
+        # passes (scene cut / motion beyond the consistency band's own
+        # coverage), fall back to the raw max so the bucket recovers on the
+        # next pair instead of deadlocking small.
+        ok = (reliable > 0.0).astype(jnp.float32)
+        absf = jnp.maximum(jnp.abs(flow1[..., 0]), jnp.abs(flow1[..., 1]))
+        rel_max = jnp.where(jnp.mean(ok) < 0.05, jnp.max(absf),
+                            jnp.max(absf * ok))
     if warp_limit is not None:
         # warp-band backstop: the engine's banded warp only covers
         # |flow| <= warp_limit (in flow1's own pixel units); pixels beyond
@@ -181,7 +199,10 @@ def _consistency_impl(flow1, flow2, image, use_structure: bool, band=None,
         over = jnp.maximum(jnp.abs(flow1[..., 0]),
                            jnp.abs(flow1[..., 1])) > warp_limit
         reliable = jnp.where(over, 0.0, reliable)
-    return jnp.clip(reliable, 0.0, 255.0)
+    out = jnp.clip(reliable, 0.0, 255.0)
+    if with_rel_maxabs:
+        return out, rel_max
+    return out
 
 
 def _minpool_axis(x, lo: int, hi: int, axis: int):
@@ -242,10 +263,12 @@ def _eroded_nearest_up(mask, fh: int, fw: int, window: int):
 
 @functools.partial(jax.jit,
                    static_argnames=("out_hw", "use_structure", "band", "rho",
-                                    "erode_window", "warp_limit"))
+                                    "erode_window", "warp_limit",
+                                    "with_rel_maxabs"))
 def _consistency_streaming_impl(flow1, flow2, image, out_hw,
                                 use_structure: bool, band, rho: float,
-                                erode_window=None, warp_limit=None):
+                                erode_window=None, warp_limit=None,
+                                with_rel_maxabs: bool = False):
     hs, ws = flow1.shape[0], flow1.shape[1]
     h, w = out_hw
     if image.dtype == jnp.uint8:
@@ -254,7 +277,13 @@ def _consistency_streaming_impl(flow1, flow2, image, out_hw,
         image = image.astype(jnp.float32) / 255.0
     if use_structure and image.shape[:2] != (hs, ws):
         image = jax.image.resize(image, (hs, ws, image.shape[2]), "bilinear")
-    mask = _consistency_impl(flow1, flow2, image, use_structure, band, rho)
+    rel_max = None
+    if with_rel_maxabs:
+        mask, rel_max = _consistency_impl(flow1, flow2, image, use_structure,
+                                          band, rho, with_rel_maxabs=True)
+    else:
+        mask = _consistency_impl(flow1, flow2, image, use_structure, band,
+                                 rho)
     if warp_limit is not None:
         # warp-band backstop at flow res (see _consistency_impl): the
         # engine's FULL-RES flow is a bilinear upsample of flow1, so a
@@ -281,12 +310,15 @@ def _consistency_streaming_impl(flow1, flow2, image, out_hw,
     elif erode_window:
         k = erode_window // 2
         mask = _minpool_axis(_minpool_axis(mask, -k, k, 0), -k, k, 1)
+    if with_rel_maxabs:
+        return mask, rel_max
     return mask
 
 
 def consistency_mask_streaming(flow1, flow2, image=None, out_hw=None,
                                rho: float = 3.0, band=None,
-                               erode_window=None, warp_limit=None):
+                               erode_window=None, warp_limit=None,
+                               with_rel_maxabs: bool = False):
     """Consistency check at the flow's NATIVE resolution, mask upsampled
     (nearest) to `out_hw`.
 
@@ -311,52 +343,65 @@ def consistency_mask_streaming(flow1, flow2, image=None, out_hw=None,
     out_hw = tuple(out_hw) if out_hw is not None else flow1.shape[:2]
     if warp_limit is not None:
         warp_limit = float(warp_limit)
-    if image is not None:
-        return _consistency_streaming_impl(
-            flow1, flow2, image, out_hw, True, band, float(rho),
-            erode_window, warp_limit) / 255.0
-    dummy = jnp.zeros(flow1.shape[:2] + (1,), jnp.float32)
-    return _consistency_streaming_impl(
-        flow1, flow2, dummy, out_hw, False, band, float(rho),
-        erode_window, warp_limit) / 255.0
+    use_structure = image is not None
+    if image is None:
+        image = jnp.zeros(flow1.shape[:2] + (1,), jnp.float32)
+    out = _consistency_streaming_impl(
+        flow1, flow2, image, out_hw, use_structure, band,
+        float(rho), erode_window, warp_limit,
+        with_rel_maxabs=with_rel_maxabs)
+    if with_rel_maxabs:
+        return out[0] / 255.0, out[1]
+    return out / 255.0
 
 
 @functools.partial(jax.jit,
                    static_argnames=("out_hw", "use_structure", "band", "rho",
-                                    "warp_limit"))
+                                    "warp_limit", "with_rel_maxabs"))
 def _consistency_streaming_batch_impl(flow1, flow2, image, out_hw,
                                       use_structure: bool, band, rho: float,
-                                      warp_limit=None):
+                                      warp_limit=None,
+                                      with_rel_maxabs: bool = False):
     def one(a, b, im):
         return _consistency_streaming_impl(a, b, im, out_hw, use_structure,
                                            band, rho,
-                                           warp_limit=warp_limit)
+                                           warp_limit=warp_limit,
+                                           with_rel_maxabs=with_rel_maxabs)
 
-    return jax.vmap(one)(flow1, flow2, image)
+    out = jax.vmap(one)(flow1, flow2, image)
+    if with_rel_maxabs:
+        # one band bucket serves all streams: reduce over the batch here so
+        # the provider reads back a single scalar
+        return out[0], jnp.max(out[1])
+    return out
 
 
 def consistency_mask_streaming_batch(flow1, flow2, images=None, out_hw=None,
                                      rho: float = 3.0, band=None,
-                                     warp_limit=None):
+                                     warp_limit=None,
+                                     with_rel_maxabs: bool = False):
     """Batched `consistency_mask_streaming`: flow1/flow2 (N, H, W, 2),
     images (N, H, W, C) or None. One program checks all N pairs (the VR
     driver's 6 faces); per-item structure normalization matches N
-    independent calls exactly."""
+    independent calls exactly. with_rel_maxabs: also return the scalar
+    max |flow1| over check-passing pixels across the WHOLE batch (the
+    shared band-sizing signal — see _consistency_impl)."""
     out_hw = tuple(out_hw) if out_hw is not None else flow1.shape[1:3]
     if warp_limit is not None:
         warp_limit = float(warp_limit)
-    if images is not None:
-        return _consistency_streaming_batch_impl(
-            flow1, flow2, images, out_hw, True, band, float(rho),
-            warp_limit) / 255.0
-    dummy = jnp.zeros(flow1.shape[:3] + (1,), jnp.float32)
-    return _consistency_streaming_batch_impl(
-        flow1, flow2, dummy, out_hw, False, band, float(rho),
-        warp_limit) / 255.0
+    use_structure = images is not None
+    if images is None:
+        images = jnp.zeros(flow1.shape[:3] + (1,), jnp.float32)
+    out = _consistency_streaming_batch_impl(
+        flow1, flow2, images, out_hw, use_structure, band, float(rho),
+        warp_limit, with_rel_maxabs=with_rel_maxabs)
+    if with_rel_maxabs:
+        return out[0] / 255.0, out[1]
+    return out / 255.0
 
 
 def consistency_mask(flow1, flow2, image=None, rho: float = 3.0, band=None,
-                     warp_limit=None):
+                     warp_limit=None, with_rel_maxabs: bool = False):
     """Reliability of flow1 cross-checked against flow2.
 
     flow1/flow2: (H, W, 2) float32 (dx, dy). image: optional (H, W, C) in
@@ -365,15 +410,18 @@ def consistency_mask(flow1, flow2, image=None, rho: float = 3.0, band=None,
     faster on TPU, used by the streaming provider; None keeps the exact
     reference semantics for file-parity tools. warp_limit: engine warp
     band; |flow1| beyond it is marked unreliable (see _consistency_impl).
+    with_rel_maxabs: also return max |flow1| over check-passing pixels
+    (band-sizing signal, see _consistency_impl).
     Returns float32 (H, W) in [0, 1] — divide-by-255 of the reference PGM.
     """
     if warp_limit is not None:
         warp_limit = float(warp_limit)
-    if image is not None:
-        out = _consistency_impl(flow1, flow2, image, True, band, float(rho),
-                                warp_limit=warp_limit)
-    else:
-        dummy = jnp.zeros(flow1.shape[:2] + (1,), jnp.float32)
-        out = _consistency_impl(flow1, flow2, dummy, False, band, float(rho),
-                                warp_limit=warp_limit)
+    use_structure = image is not None
+    if image is None:
+        image = jnp.zeros(flow1.shape[:2] + (1,), jnp.float32)
+    out = _consistency_impl(flow1, flow2, image, use_structure, band,
+                            float(rho), warp_limit=warp_limit,
+                            with_rel_maxabs=with_rel_maxabs)
+    if with_rel_maxabs:
+        return out[0] / 255.0, out[1]
     return out / 255.0

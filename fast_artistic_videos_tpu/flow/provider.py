@@ -112,17 +112,21 @@ class StreamingFlowProvider:
                 coarse_backward=self.coarse_backward,
                 fast_check=self.fast_check,
             )
-        # band from the PREVIOUS pair's max |flow| (+1 bucket headroom): its
-        # device->host readback has long completed, so this costs nothing,
-        # where float(maxabs) would stall ~1 RTT on the in-flight step. Flow
-        # range moves slowly frame-to-frame; if it still overshoots, the
-        # out-of-band pixels fail the round-trip test and are marked
-        # unreliable — the conservative direction.
-        prev_maxabs, self._pending_maxabs = self._pending_maxabs, maxabs
-        try:
-            maxabs.copy_to_host_async()  # start the 4-byte D2H now; the
-        except AttributeError:           # float() next step finds it ready
-            pass
+        # band from the PREVIOUS pair's band-sizing signal: its device->host
+        # readback has long completed, so this costs nothing, where a
+        # float() on the in-flight step would stall ~1 RTT. The signal is
+        # the max |flow| over consistency-PASSING pixels (rel_max below),
+        # not the raw max: new content entering at the borders gets
+        # arbitrary unmatched flow that fails the round-trip check anyway,
+        # and sizing by it ran 1080p pans at band 32 where the true motion
+        # needs 16 (BENCH_NOTES round 5). Flow range moves slowly
+        # frame-to-frame; if it still overshoots, out-of-band pixels are
+        # marked unreliable (warp_limit backstop) — the conservative
+        # direction — and the <5%-pass escape hatch inside the check falls
+        # back to the raw max so a scene cut re-grows the bucket next pair.
+        prev_maxabs = self._pending_maxabs
+        warp_low = flow_band(float(prev_maxabs if prev_maxabs is not None
+                                   else maxabs))
         # Two distinct bands from the same flow bucket: the consistency
         # check composes a round trip (f1 then f2), so ITS banded sample
         # needs 2x coverage; the ENGINE's prior warp only moves by f1, so
@@ -131,8 +135,6 @@ class StreamingFlowProvider:
         # flow exceeds the engine band are marked unreliable inside the
         # consistency program (warp_limit backstop), so the narrower band
         # can never sample garbage into a trusted prior.
-        warp_low = flow_band(float(prev_maxabs if prev_maxabs is not None
-                                   else maxabs))
         band = 2 * warp_low
         image = jnp.asarray(frame) if self.use_structure else None
         if lowres:
@@ -141,15 +143,21 @@ class StreamingFlowProvider:
             # flow (upsampling scales values by out/in size)
             self.last_band = flow_band(warp_low / self.flow_scale)
             limit_low = self.last_band * bwd_low.shape[0] / frame.shape[0]
-            cert = consistency.consistency_mask_streaming(
+            cert, rel_max = consistency.consistency_mask_streaming(
                 bwd_low, fwd_low, image,
                 out_hw=None if self.phased else frame.shape[:2], band=band,
-                erode_window=self.erode_window, warp_limit=limit_low)
+                erode_window=self.erode_window, warp_limit=limit_low,
+                with_rel_maxabs=True)
         else:
             self.last_band = warp_low  # warp-band hint for the engine step
-            cert = consistency.consistency_mask(backward, forward, image,
-                                                band=band,
-                                                warp_limit=float(warp_low))
+            cert, rel_max = consistency.consistency_mask(
+                backward, forward, image, band=band,
+                warp_limit=float(warp_low), with_rel_maxabs=True)
+        self._pending_maxabs = rel_max
+        try:
+            rel_max.copy_to_host_async()  # start the 4-byte D2H now; the
+        except AttributeError:            # float() next step finds it ready
+            pass
         return backward, cert
 
 
@@ -196,14 +204,11 @@ class BatchedStreamingFlowProvider:
         backward, bwd_low, fwd_low, maxabs = self.estimator.refine_pair_batch(
             feats, prev_feats, (h, w), self.flow_scale,
             fast_check=self.fast_check)
-        prev_maxabs, self._pending_maxabs = self._pending_maxabs, maxabs
-        try:
-            maxabs.copy_to_host_async()
-        except AttributeError:
-            pass
         # engine band = plain bucket, consistency band = 2x (round-trip
-        # coverage); out-of-engine-band pixels are masked unreliable — see
-        # StreamingFlowProvider.__call__.
+        # coverage); out-of-engine-band pixels are masked unreliable, and
+        # the bucket is sized from the PREVIOUS step's check-passing
+        # max |flow| over the whole batch — see StreamingFlowProvider.
+        prev_maxabs = self._pending_maxabs
         warp_low = flow_band(float(prev_maxabs if prev_maxabs is not None
                                    else maxabs))
         band = 2 * warp_low
@@ -213,7 +218,12 @@ class BatchedStreamingFlowProvider:
         else:
             self.last_band = warp_low
         limit_low = self.last_band * bwd_low.shape[1] / h
-        certs = consistency.consistency_mask_streaming_batch(
+        certs, rel_max = consistency.consistency_mask_streaming_batch(
             bwd_low, fwd_low, images, out_hw=(h, w), band=band,
-            warp_limit=limit_low)
+            warp_limit=limit_low, with_rel_maxabs=True)
+        self._pending_maxabs = rel_max
+        try:
+            rel_max.copy_to_host_async()
+        except AttributeError:
+            pass
         return [(backward[i], certs[i]) for i in range(n)]

@@ -394,3 +394,61 @@ def test_warp_limit_backstop_native_res():
     keep = np.ones((h, w), bool)
     keep[5, 5] = False
     np.testing.assert_array_equal(got[keep], base[keep])
+
+
+def test_rel_maxabs_ignores_failing_garbage_flow():
+    """with_rel_maxabs returns max |flow1| over check-PASSING pixels: a
+    block of garbage flow that fails the round trip (new content entering
+    the frame) must not grow the band-sizing signal, and the mask itself
+    is identical to the two-return form. Computed BEFORE the warp_limit
+    backstop, so genuine passing motion beyond the current engine band
+    still grows the next bucket."""
+    hs, ws = 16, 20
+    f1 = np.full((hs, ws, 2), 3.0, np.float32)
+    f2 = np.full((hs, ws, 2), -3.0, np.float32)
+    f1[6:9, 9:12, 0] = 20.0  # garbage: f2 does not invert it -> fails
+    base = consistency.consistency_mask_streaming(
+        jnp.asarray(f1), jnp.asarray(f2), None, out_hw=(hs, ws), band=48)
+    got, rel = consistency.consistency_mask_streaming(
+        jnp.asarray(f1), jnp.asarray(f2), None, out_hw=(hs, ws), band=48,
+        with_rel_maxabs=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(base))
+    assert float(rel) == 3.0
+    # before-the-backstop: a warp_limit that zeroes EVERY passing pixel
+    # leaves the signal untouched (else the bucket could never recover)
+    _, rel2 = consistency.consistency_mask_streaming(
+        jnp.asarray(f1), jnp.asarray(f2), None, out_hw=(hs, ws), band=48,
+        warp_limit=2.0, with_rel_maxabs=True)
+    assert float(rel2) == 3.0
+    # native-res wrapper, same contract
+    _, rel3 = consistency.consistency_mask(
+        jnp.asarray(f1), jnp.asarray(f2), band=48, with_rel_maxabs=True)
+    assert float(rel3) == 3.0
+
+
+def test_rel_maxabs_escape_hatch_on_total_failure():
+    """When almost nothing passes (scene cut), rel_max falls back to the
+    raw max |flow| so the band bucket recovers next pair instead of
+    deadlocking small."""
+    hs, ws = 16, 20
+    rng = np.random.default_rng(7)
+    f1 = (rng.random((hs, ws, 2)).astype(np.float32) - 0.5) * 30.0
+    f2 = (rng.random((hs, ws, 2)).astype(np.float32) - 0.5) * 30.0
+    _, rel = consistency.consistency_mask_streaming(
+        jnp.asarray(f1), jnp.asarray(f2), None, out_hw=(hs, ws), band=8,
+        with_rel_maxabs=True)
+    assert float(rel) == float(np.abs(f1).max())
+
+
+def test_rel_maxabs_batch_reduces_over_streams():
+    """Batched form returns ONE scalar: the max over every stream's
+    passing pixels (the VR driver shares one band bucket across faces)."""
+    hs, ws = 12, 14
+    f1 = np.full((2, hs, ws, 2), 2.0, np.float32)
+    f1[1] = 5.0
+    f2 = -f1
+    certs, rel = consistency.consistency_mask_streaming_batch(
+        jnp.asarray(f1), jnp.asarray(f2), None, out_hw=(hs, ws), band=16,
+        with_rel_maxabs=True)
+    assert certs.shape == (2, hs, ws)
+    assert float(rel) == 5.0
