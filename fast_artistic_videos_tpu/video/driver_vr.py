@@ -346,6 +346,89 @@ class VRDriver:
         self._border_jits[key] = jax.jit(blend)
         return self._border_jits[key]
 
+    def _face_fn(self, pos: int, band: Optional[int], temporal: bool):
+        """ONE jitted program for a whole streaming face step: border
+        certainty max + occlusion erosion + neighbor-border prior +
+        temporal blend + the engine's prior-conditioned stylization.
+        The unfused path ran these as 4 separate programs per face (24
+        dispatches/frame at 6 faces); fusing removes the dispatch floors
+        and lets XLA fuse the eroded certainty into both its consumers
+        (the blend mask and the stylizer input). Math identical to
+        load_cert + make_prior + engine.stylize_with_prior
+        (tests/test_vr.py fused-parity)."""
+        key = ("face_fused", pos, band, temporal)
+        if key in self._border_jits:
+            return self._border_jits[key]
+        opt, g = self.opt, self.geo
+        eng = self.engine
+        bc = self._border_cert(pos)
+        border_fn = self._border_fn(pos) if (
+            pos > 0 and not opt.create_inconsistent_border) else None
+        temporal_fn = self._temporal_fn(pos, band) if temporal else None
+        fm = self.smooth_cert_mask(pos) if opt.smooth_certainty else None
+        fm = jnp.asarray(fm) if fm is not None else None
+        hp, wp = g.hplus, g.wplus
+
+        sm = max(1, eng.stride_multiple)
+        hpad = -(-hp // sm) * sm - hp
+        wpad = -(-wp // sm) * sm - wp
+
+        def step(img, cert_frame, prev_seg, s0, s1, s2, s3, flow, key):
+            cert = bc if cert_frame is None else jnp.maximum(cert_frame, bc)
+            cert_er = filters.min_filter(cert, opt.occlusions_min_filter)
+            if border_fn is not None:
+                border = border_fn(s0, s1, s2, s3)
+            else:
+                border = jnp.zeros((hp, wp, 3), jnp.float32)
+            if temporal_fn is not None:
+                prior = temporal_fn(prev_seg, flow, border, cert_er)
+            else:
+                prior = border
+            input_mask = cert_er
+            if fm is not None:
+                input_mask = jnp.minimum(cert_er, fm)
+            if hpad or wpad:  # stride padding, as engine.stylize_with_prior
+                ext = ((0, hpad), (0, wpad))
+                img = jnp.pad(img, ext + ((0, 0),), mode="edge")
+                prior = jnp.pad(prior, ext + ((0, 0),), mode="edge")
+                input_mask = jnp.pad(input_mask, ext)  # padded = occluded
+            out = eng._stylize_with_prior(
+                img, prior.astype(jnp.float32), input_mask, key, erode=False)
+            return out[:hp, :wp]
+
+        self._border_jits[key] = jax.jit(step, static_argnames=())
+        return self._border_jits[key]
+
+    def _run_face_fused(self, i: int, img) -> jnp.ndarray:
+        """Streaming-path face step through the fused program (run() uses
+        this whenever flow/certainty come from a provider; the file-based
+        path keeps the staged load_cert/make_prior flow)."""
+        opt = self.opt
+        pos = (i - 1) % 6
+        streamed = self._streamed[pos]
+        temporal = (i >= 7 and not opt.create_inconsistent
+                    and streamed is not None)
+        band = None
+        flow = cert_frame = None
+        if temporal:
+            flow, cert_frame = streamed[0], streamed[1]
+            if not self.engine.config.exact_warp:
+                band = (self.batched_flow.last_band
+                        if self.batched_flow is not None
+                        else self.flow_providers[pos].last_band)
+        zero = jnp.zeros((self.geo.hplus, self.geo.wplus, 3), jnp.float32)
+        seg = [jnp.asarray(s) if s is not None else zero
+               for s in self.segments[:4]]
+        prev = (jnp.asarray(self.prev_segments[pos])
+                if temporal and self.prev_segments[pos] is not None else zero)
+        if not temporal:
+            flow = jnp.zeros((self.geo.hplus, self.geo.wplus, 2), jnp.float32)
+        if cert_frame is not None:
+            cert_frame = jnp.asarray(cert_frame)
+        fn = self._face_fn(pos, band, temporal and cert_frame is not None)
+        return fn(jnp.asarray(img), cert_frame, prev, *seg, flow,
+                  self.engine._next_key())
+
     def smooth_cert_mask(self, pos: int) -> Optional[np.ndarray]:
         """The optional flow_mask return of the reference prior callback
         (:296-301): a blocky >=0.25 mask derived from the gradient mask."""
@@ -520,6 +603,12 @@ class VRDriver:
             file_idx = (i - 1) // 6 + opt.start_frame
             if self._is_single(i):
                 stylized = self.engine.stylize_first(img)
+            elif self.streaming:
+                # streaming faces run the FUSED one-program step (border
+                # cert + erosion + border prior + temporal blend + stylize
+                # in one jit — the staged path below dispatches 4 programs
+                # per face); identical math, tests/test_vr.py fused-parity
+                stylized = self._run_face_fused(i, img)
             else:
                 cert = self.load_cert(i)
                 # cert/prior/mask all stay device-resident through the step

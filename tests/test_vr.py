@@ -459,3 +459,62 @@ def test_vr_streaming_resume_continuity(vr_clip, rng):
         a = io.load_image(str(vr_clip / "full" / f"o3_{pos}.png"))
         b = io.load_image(str(vr_clip / "res" / f"o3_{pos}.png"))
         np.testing.assert_allclose(a, b, atol=0.05)
+
+
+def test_vr_fused_face_step_matches_staged(rng):
+    """The streaming path's fused one-program face step (_run_face_fused:
+    border cert max + erosion + border prior + temporal blend + stylize in
+    one jit) must reproduce the staged load_cert + min_filter + make_prior
+    + stylize_with_prior chain — covering border-only (pos 0), single-side
+    (pos 1) and all-sides (pos 4) priors, plus the stride-padding branch
+    (stride 4 on a 30-px face)."""
+    import types
+
+    from fast_artistic_videos_tpu.ops import filters
+    from fast_artistic_videos_tpu.video.driver_vr import _Geometry
+
+    hp = wp = 30  # NOT a multiple of 4: exercises the fused stride padding
+    for stride in (1, 4):
+        engine = StylizerEngine(
+            lambda p, x: x[..., 3:6], params_vid=None,
+            stride_multiple=stride,
+            config=EngineConfig(occlusions_min_filter=3))
+        opt = VROptions(overlap_pixel_w=12, overlap_pixel_h=12,
+                        occlusions_min_filter=3)
+        driver = VRDriver(engine, opt)
+        driver.geo = _Geometry(hp, wp, opt)
+        driver.streaming = True
+        driver.batched_flow = types.SimpleNamespace(last_band=4)
+        driver.segments = [rng.random((hp, wp, 3)).astype(np.float32)
+                           for _ in range(6)]
+        driver.prev_segments = [rng.random((hp, wp, 3)).astype(np.float32)
+                                for _ in range(6)]
+        flow = (rng.random((hp, wp, 2)).astype(np.float32) - 0.5) * 6.0
+        cert = (rng.random((hp, wp)) > 0.3).astype(np.float32)
+        img = rng.random((hp, wp, 3)).astype(np.float32)
+        for pos in (0, 1, 4):
+            i = 7 + pos
+            driver._streamed[pos] = (jnp.asarray(flow), jnp.asarray(cert))
+            c = driver.load_cert(i)
+            cert_er = filters.min_filter(jnp.asarray(c),
+                                         opt.occlusions_min_filter)
+            prior = driver.make_prior(i, cert_er)
+            want = engine.stylize_with_prior(
+                jnp.asarray(img), prior.astype(jnp.float32), cert_er,
+                erode_cert=False)
+            got = driver._run_face_fused(i, jnp.asarray(img))
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=1e-5)
+        # border-only form: frame 1 faces (i < 7) never take the temporal
+        # branch even with streamed flow present
+        i = 2  # pos 1, frame 1
+        driver._streamed[1] = (jnp.asarray(flow), jnp.asarray(cert))
+        c = driver.load_cert(i)
+        cert_er = filters.min_filter(jnp.asarray(c), opt.occlusions_min_filter)
+        prior = driver.make_prior(i, cert_er)
+        want = engine.stylize_with_prior(
+            jnp.asarray(img), prior.astype(jnp.float32), cert_er,
+            erode_cert=False)
+        got = driver._run_face_fused(i, jnp.asarray(img))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
