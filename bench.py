@@ -64,20 +64,22 @@ ASSETS = os.path.join(os.path.dirname(fast_artistic_videos_tpu.__file__),
 
 
 def _pan_frames_u8(H, W, dx, dy, k=4):
-    """Deterministic video-like content: the bundled natural photo tiled to
-    (H, W) and ping-pong panned by (dx, dy) px/frame over k positions —
-    every consecutive pair has |flow| = max(dx, dy), so the provider's
-    band bucket is pinned to the realistic value for that motion, and the
-    cycle (period 2k-2) never presents the estimator a discontinuous jump.
-    """
+    """Deterministic video-like content: a camera pan of (dx, dy) px/frame
+    over the bundled natural photo (tiled large enough to crop a moving
+    window — NOT np.roll, whose wrap seam shows the estimator a giant fake
+    discontinuity that inflates max|flow| and with it the warp band). The
+    k pan positions ping-pong (period 2k-2), so every consecutive pair is
+    a true translation by exactly (dx, dy) and the provider's band bucket
+    pins to the realistic value for that motion."""
     from fast_artistic_videos_tpu.core import io as fio
 
     base = fio.load_image_u8(os.path.join(ASSETS, "eval", "photo_scene.png"))
-    reps = (-(-H // base.shape[0]), -(-W // base.shape[1]), 1)
-    img = np.tile(base, reps)[:H, :W]
+    span_h, span_w = H + (k - 1) * dy, W + (k - 1) * dx
+    reps = (-(-span_h // base.shape[0]), -(-span_w // base.shape[1]), 1)
+    img = np.tile(base, reps)[:span_h, :span_w]
     pos = list(range(k)) + list(range(k - 2, 0, -1))
-    return [np.roll(np.roll(img, p * dx, axis=1), p * dy, axis=0)
-            for p in pos]
+    return [np.ascontiguousarray(
+        img[p * dy:p * dy + H, p * dx:p * dx + W]) for p in pos]
 
 
 def _canonical_engine(spec, params, phased=False):
@@ -181,11 +183,8 @@ def run_vr(face, flow_scale, n, dx=8, dy=2):
         [p[:, k * face:(k + 1) * face] for k in range(6)]
     ).astype(np.float32) / 255.0) for p in pans]
 
-    zeros = jnp.zeros((face, face, 3), jnp.float32)
     driver.segments = [stacks[0][k] for k in range(6)]
     driver.prev_segments = list(driver.segments)
-    bc = [driver._border_cert(pos) for pos in range(6)]
-    ero = jax.jit(lambda c: filters.min_filter(c, opt.occlusions_min_filter))
     outputs_fn = driver._outputs_fn()
     driver.batched_flow(stacks[0])  # prime: first call only caches pyramids
     state = {"i": 1, "u8": None}
@@ -193,20 +192,13 @@ def run_vr(face, flow_scale, n, dx=8, dy=2):
     def frame():
         i = state["i"]
         content = stacks[i % period]
-        streamed = driver.batched_flow(content)
-        band = driver.batched_flow.last_band
+        driver._streamed = list(driver.batched_flow(content))
         for pos in range(6):
-            f, c = streamed[pos]
-            cert_er = ero(jnp.maximum(c, bc[pos]))
-            if pos > 0:
-                border = driver._border_fn(pos)(*driver.segments[:4])
-            else:
-                border = zeros
-            prior = driver._temporal_fn(pos, band)(
-                driver.prev_segments[pos], f, border, cert_er)
-            driver.segments[pos] = engine.stylize_with_prior(
-                content[pos], prior.astype(jnp.float32), cert_er,
-                erode_cert=False)
+            # the fused one-program face step run() dispatches on the
+            # streaming path (border cert + erosion + border prior +
+            # temporal blend + stylize); index >= 7 selects temporal mode
+            driver.segments[pos] = driver._run_face_fused(
+                6 * i + pos + 1, content[pos])
         driver.prev_segments = driver.blend_other_sides()
         faces_u8, _, _ = outputs_fn(tuple(driver.prev_segments))
         state["u8"] = faces_u8[0]
