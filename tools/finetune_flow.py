@@ -41,10 +41,16 @@ def main():
     p.add_argument("--natural_frac", type=float, default=0.0,
                    help="fraction of the training pool drawn from the "
                         "bundled natural-statistics fixtures")
+    p.add_argument("--natural_augment", action="store_true",
+                   help="photometric jitter + two-crop composites over the "
+                        "natural pool (flow.train.natural_image_augmented)")
     p.add_argument("--context", action="store_true",
                    help="graft the (zero-output) context head onto the "
                         "weights before training (estimator.add_context)")
     p.add_argument("--eval_size", type=int, default=128)
+    p.add_argument("--init", default=None,
+                   help="start from this .npz instead of the bundled "
+                        "weights (chained fine-tune rounds)")
     p.add_argument("--out", default="/tmp/flow_ft.npz")
     args = p.parse_args()
 
@@ -58,7 +64,8 @@ def main():
                 res[f"{tag}/{name}"] = v
         return res
 
-    params = estimator.load_params(registry.bundled_flow_weights())
+    params = estimator.load_params(args.init or
+                                   registry.bundled_flow_weights())
     if args.context:
         params = estimator.add_context(params, jax.random.PRNGKey(args.seed + 1))
     before = eval_both(params)
@@ -72,6 +79,7 @@ def main():
         seed=args.seed,
         params=params,
         natural_frac=args.natural_frac,
+        natural_augment=args.natural_augment,
     )
     after = eval_both(params)
     report("after", after)
