@@ -70,6 +70,38 @@ def put_global_batch(mesh: Mesh, tree, axis_name: str = "data"):
     return jax.tree_util.tree_map(put, tree)
 
 
+def prime_collectives(mesh: Mesh) -> None:
+    """Rendezvous the cross-process communicators while processes are
+    still aligned from ``jax.distributed.initialize``.
+
+    XLA's gloo CPU backend (and the TPU runtime's DCN fallback) creates
+    each communicator clique lazily at its first collective, under a hard
+    30 s key-value-store deadline. On a loaded host the processes' first
+    ORGANIC collectives can skew past that — client-side compiles
+    serialize on the CPU, and rank 0 additionally hosts the coordination
+    service — killing the world at startup (measured: a 4-process trainer
+    died in `device_put -> multihost assert_equal -> allgather` with
+    `GetKeyValue() timed out ... 29.99s` before iteration 1). Touching
+
+      * the one-device-per-process clique (process_allgather /
+        assert_equal use it for every cross-process device_put), and
+      * the all-device clique (the gradient psum uses it)
+
+    here, microseconds past initialize(), makes the rendezvous skew-free;
+    both contexts are cached for the real work. No-op single-process."""
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+    from jax.sharding import PartitionSpec
+
+    multihost_utils.process_allgather(np.zeros((), np.float32))
+    n = int(mesh.devices.size)
+    sharded = NamedSharding(mesh, PartitionSpec(tuple(mesh.axis_names)))
+    x = jax.device_put(np.zeros((n,), np.float32), sharded)
+    out = jax.jit(lambda v: v.sum(), out_shardings=replicated(mesh))(x)
+    np.asarray(out.addressable_data(0))  # force the all-reduce to run
+
+
 # -- 2D (data x space) mesh: joint batch + spatial sharding -----------------
 
 def make_mesh_2d(data: int, space: int) -> Mesh:

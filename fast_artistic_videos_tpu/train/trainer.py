@@ -75,6 +75,9 @@ class Trainer:
         )
         self.key = jax.random.PRNGKey(opt.seed)
         self.mesh = pmesh.make_mesh(opt.num_data_devices)
+        # multi-process: rendezvous the gloo cliques NOW, before the model
+        # init compiles stagger the ranks past the 30 s context deadline
+        pmesh.prime_collectives(self.mesh)
 
         # loss network
         style_layers, style_weights = parse_layers(opt.style_layers, opt.style_weights)

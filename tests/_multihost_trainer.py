@@ -12,6 +12,14 @@ per-process RNG/cursor sidecars (trainer._rng_sidecar_suffix) — under
   interrupted  train 3 (writes the interval checkpoint), then a FRESH
                Trainer restores the state and continues to 6 — the
                multi-process elastic-resume drill
+  kill3        train toward 6, but THIS process dies abruptly
+               (os._exit, no cleanup — a SIGKILL-equivalent crash)
+               immediately after the iteration-3 interval checkpoint
+               lands; the parent reaps the survivors hung in the
+               next collective (mid-training failure drill)
+  resume6      a FRESH Trainer in a (possibly smaller) world restores
+               the iteration-3 checkpoint and continues to 6 —
+               restore-on-smaller-world elastic shrink
 
 Prints one JSON line with float64 per-leaf sums + the loss history so the
 parent can compare ranks bit-for-bit and worlds numerically.
@@ -65,6 +73,25 @@ def main(argv):
     quiet = lambda *a: None  # noqa: E731
     if mode == "full":
         tr = Trainer(opts(6))
+        tr.train(log_fn=quiet)
+    elif mode == "kill3":
+        import os as _os
+
+        class DyingTrainer(Trainer):
+            # the LAST-RANK process crashes without cleanup the instant
+            # the interval checkpoint is durable — the other ranks are
+            # left mid-loop and will block in the next collective
+            def save_checkpoint(self):
+                super().save_checkpoint()
+                if pid == nproc - 1 and self.iteration == 3:
+                    _os._exit(137)
+
+        tr = DyingTrainer(opts(6))
+        tr.train(log_fn=quiet)
+    elif mode == "resume6":
+        tr = Trainer(opts(6))
+        tr.restore_train_state(ckpt + "_state")
+        assert tr.iteration == 3, tr.iteration
         tr.train(log_fn=quiet)
     else:
         tr_a = Trainer(opts(3))

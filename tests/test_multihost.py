@@ -39,17 +39,42 @@ def _env():
     return env
 
 
+def _spawn(argv) -> subprocess.Popen:
+    """Launch a world member with stderr on a FILE, not a pipe.
+
+    The ranks run concurrently but the parent drains one stdout at a
+    time; a rank whose stderr pipe fills (the XLA compile cache warns
+    ~4 KB of host-CPU-feature diffs per cached-executable load) blocks in
+    the write BEFORE its next collective, and the whole world then dies
+    on the 30 s gloo context deadline. Measured: rank 0 wedged in
+    anon_pipe_write during startup while ranks 1-3 burned the deadline."""
+    import tempfile
+
+    f = tempfile.NamedTemporaryFile(
+        mode="w+", suffix=".stderr", delete=False)
+    p = subprocess.Popen(argv, stdout=subprocess.PIPE, stderr=f,
+                         text=True, env=_env(), cwd=REPO)
+    p._stderr_file = f  # type: ignore[attr-defined]
+    return p
+
+
+def _stderr_tail(proc) -> str:
+    f = getattr(proc, "_stderr_file", None)
+    if f is None:
+        return ""
+    f.flush()
+    f.seek(0, os.SEEK_END)
+    f.seek(max(0, f.tell() - 3000))
+    return f.read()
+
+
 def _run(pid: int, nproc: int, port: int) -> subprocess.Popen:
-    return subprocess.Popen(
-        [sys.executable, HELPER, str(pid), str(nproc), str(port)],
-        stdout=subprocess.PIPE, stderr=subprocess.PIPE,
-        text=True, env=_env(), cwd=REPO,
-    )
+    return _spawn([sys.executable, HELPER, str(pid), str(nproc), str(port)])
 
 
 def _result(proc: subprocess.Popen, timeout=600):
-    out, err = proc.communicate(timeout=timeout)
-    assert proc.returncode == 0, f"helper failed:\n{err[-3000:]}"
+    out, _ = proc.communicate(timeout=timeout)
+    assert proc.returncode == 0, f"helper failed:\n{_stderr_tail(proc)}"
     return json.loads(out.strip().splitlines()[-1])
 
 
@@ -94,12 +119,8 @@ TRAINER_HELPER = os.path.join(REPO, "tests", "_multihost_trainer.py")
 
 
 def _run_trainer(pid, nproc, port, h5, ckpt, mode):
-    return subprocess.Popen(
-        [sys.executable, TRAINER_HELPER, str(pid), str(nproc), str(port),
-         h5, ckpt, mode],
-        stdout=subprocess.PIPE, stderr=subprocess.PIPE,
-        text=True, env=_env(), cwd=REPO,
-    )
+    return _spawn([sys.executable, TRAINER_HELPER, str(pid), str(nproc),
+                   str(port), h5, ckpt, mode])
 
 
 def _trainer_world(nproc, h5, ckpt, mode):
@@ -160,3 +181,93 @@ def test_real_trainer_two_process_elastic(tmp_path):
     # per-process sidecars: rank 0 legacy name, rank 1 suffixed
     assert os.path.exists(str(tmp_path / "m") + "_state.rng.json")
     assert os.path.exists(str(tmp_path / "m") + "_state.rng.p1.json")
+
+
+def _make_h5(tmp_path):
+    import h5py
+    import numpy as np
+
+    h5 = str(tmp_path / "coco.h5")
+    rng = np.random.default_rng(0)
+    with h5py.File(h5, "w") as f:
+        for split in ("train2014", "val2014"):
+            f.create_dataset(f"/{split}/images",
+                             data=rng.integers(0, 256, (8, 3, 16, 16),
+                                               dtype=np.uint8))
+    return h5
+
+
+def test_real_trainer_four_process(tmp_path):
+    """The real Trainer under FOUR gloo processes x 2 devices (VERDICT r4
+    next #7 scaled the 2-process drill): the cross-host all-reduce and the
+    4-way put_global_batch assembly against the single-process world, with
+    the same function-space equivalence contract as the 2-process test."""
+    h5 = _make_h5(tmp_path)
+    single = _result(_run_trainer(0, 1, _free_port(), h5,
+                                  str(tmp_path / "s"), "full"), timeout=900)
+    world = _trainer_world(4, h5, str(tmp_path / "q"), "full")
+
+    assert all(r["iter"] == 6 for r in world)
+    # all four ranks ran the same global program: bit-identical params
+    assert len({tuple(r["leaf_sums"]) for r in world}) == 1, world
+    assert len({tuple(r["train_loss_history"]) for r in world}) == 1
+    # cross-world parity: losses track and the learned function matches
+    # (per-leaf params deliberately not compared — see the 2-process test)
+    for a, b in zip(single["train_loss_history"],
+                    world[0]["train_loss_history"]):
+        assert abs(a - b) < 1e-3 * abs(a), (a, b)
+    for a, b in zip(single["probe"], world[0]["probe"]):
+        assert abs(a - b) < 1e-2 * max(abs(a), 1.0), (single["probe"],
+                                                      world[0]["probe"])
+    # all four per-process sidecars landed
+    for suffix in (".rng.json", ".rng.p1.json", ".rng.p2.json",
+                   ".rng.p3.json"):
+        assert os.path.exists(str(tmp_path / "q") + "_state" + suffix)
+
+
+def test_real_trainer_kill_and_shrink_restore(tmp_path):
+    """Mid-training process death + restore on a SMALLER world (VERDICT r4
+    next #7): a 4-process run loses its last rank to an abrupt os._exit
+    right after the iteration-3 interval checkpoint lands (the survivors
+    block in the next collective and are reaped), then a FRESH 2-process
+    world restores that checkpoint through restore_train_state and trains
+    to completion. Exact replay across the shrink is impossible by design
+    (the data shard partition changes with process_count); the contract is
+    continuity: iteration/optimizer/history restore, ranks bit-identical,
+    and the pre-interrupt history entries carried over exactly."""
+    import time as _time
+
+    h5 = _make_h5(tmp_path)
+    ckpt = str(tmp_path / "k")
+    port = _free_port()
+    procs = [_run_trainer(pid, 4, port, h5, ckpt, "kill3")
+             for pid in range(4)]
+    # rank 3 dies with status 137 moments after the checkpoint write
+    procs[3].communicate(timeout=600)
+    assert procs[3].returncode == 137, (procs[3].returncode,
+                                        _stderr_tail(procs[3]))
+    # the interval checkpoint is durable despite the crash
+    deadline = _time.monotonic() + 60
+    state_side = ckpt + "_state.rng.p3.json"
+    while not os.path.exists(state_side) and _time.monotonic() < deadline:
+        _time.sleep(0.5)
+    assert os.path.exists(ckpt + ".json")
+    assert os.path.exists(state_side)
+    # survivors are stuck in the iteration-4 collective — reap them
+    for p in procs[:3]:
+        p.kill()
+        p.communicate()
+
+    # restore on the smaller world: 2 processes x 4 devices
+    r0, r1 = _trainer_world(2, h5, ckpt, "resume6")
+    assert r0["iter"] == r1["iter"] == 6
+    assert r0["leaf_sums"] == r1["leaf_sums"]
+    assert r0["train_loss_history"] == r1["train_loss_history"]
+    # pre-interrupt history (history_every=2 -> the iter-2 entry) came from
+    # the restored JSON and must match the 4-process world's bit-for-bit;
+    # the post-restore entries were trained on the 2-way shard partition
+    with open(ckpt + ".json") as f:
+        hist4 = json.load(f)["train_loss_history"]
+    assert len(r0["train_loss_history"]) == 3  # iters 2, 4, 6
+    assert r0["train_loss_history"][0] == hist4[0]
+    assert all(v == v and abs(v) < 1e9 for v in r0["train_loss_history"])
