@@ -128,5 +128,7 @@ class AsyncWriter:
     def close(self) -> None:
         self._q.put(None)
         self._thread.join()
+        # surface an error from the FINAL writes too (put() only re-raises
+        # on the next call, which never comes for the last frame)
         if self._err:
             raise self._err

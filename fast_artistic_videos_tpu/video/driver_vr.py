@@ -522,20 +522,33 @@ class VRDriver:
         self._border_jits[key] = jax.jit(outputs)
         return self._border_jits[key]
 
-    def _save_frame_outputs(self, file_idx: int) -> None:
+    def _save_frame_outputs(self, file_idx: int, writer=None) -> None:
+        """Dispatch the blend + output programs (device-side, async), then
+        download + encode + write the PNGs — on `writer`'s thread when one
+        is given, so the main loop keeps the device queue fed while the
+        slow u8 downloads drain (device->host rides the tunnel; inline it
+        stalled the whole frame cadence)."""
         opt = self.opt
         self.prev_segments = self.blend_other_sides()
         faces_u8, equi_u8, cubemap_u8 = self._outputs_fn()(
             tuple(self.prev_segments))
-        for pos in range(6):
-            io.save_image(f"{opt.output_prefix}{file_idx}_{pos}.png",
-                             np.asarray(faces_u8[pos]))
-        if equi_u8 is not None:
-            io.save_image(f"{opt.output_prefix}-{file_idx:05d}_equi.png",
-                             np.asarray(equi_u8))
-        if cubemap_u8 is not None:
-            io.save_image(f"{opt.output_prefix}-{file_idx:05d}_cubemap.png",
-                             np.asarray(cubemap_u8))
+
+        def save():
+            for pos in range(6):
+                io.save_image(f"{opt.output_prefix}{file_idx}_{pos}.png",
+                              np.asarray(faces_u8[pos]))
+            if equi_u8 is not None:
+                io.save_image(f"{opt.output_prefix}-{file_idx:05d}_equi.png",
+                              np.asarray(equi_u8))
+            if cubemap_u8 is not None:
+                io.save_image(
+                    f"{opt.output_prefix}-{file_idx:05d}_cubemap.png",
+                    np.asarray(cubemap_u8))
+
+        if writer is None:
+            save()
+        else:
+            writer.put(save)
 
     # -- main loop --------------------------------------------------------
 
@@ -573,17 +586,36 @@ class VRDriver:
                     for pos in range(6):
                         self.flow_providers[pos](jnp.asarray(prev_faces[pos]))
         count = 0
+        use_batched = (self.batched_flow is not None
+                       and not self.opt.create_inconsistent)
+        prefetch = None
+        if use_batched:
+            # frame-level lookahead: frame N+1's 6 face files decode AND
+            # upload on the prefetch thread while frame N's flow/stylize
+            # programs run (VERDICT r4 next #6 — the stages are independent
+            # across frames; same overlap the 2D driver's Prefetcher does,
+            # driver_video.py:91). `start` is always pos==0 aligned.
+            def _load_frame(frame_off: int):
+                faces = self._load_frame_faces(start + frame_off * 6)
+                if faces is None:
+                    return None
+                return [jnp.asarray(f) for f in faces]
+
+            n_frames = (n_indices - start) // 6 + 1
+            prefetch = iter(pipeline.Prefetcher(_load_frame,
+                                                range(max(0, n_frames))))
+        writer = pipeline.AsyncWriter(depth=2)
         for i in range(start, n_indices + 1):
             pos = (i - 1) % 6
-            if self.batched_flow is not None and not self.opt.create_inconsistent:
+            if use_batched:
                 # batched streaming: at frame start load all 6 faces, run
                 # one program for all face flows (the faces' temporal
                 # streams are independent; only border priors sequence)
                 if pos == 0 or self._frame_faces is None:
-                    faces = self._load_frame_faces(i)
-                    if faces is None:
+                    got = next(prefetch, None)
+                    if got is None:
                         break
-                    self._frame_faces = [jnp.asarray(f) for f in faces]
+                    self._frame_faces = got[1]
                     out = self.batched_flow(jnp.stack(self._frame_faces))
                     self._streamed = list(out) if out is not None else [None] * 6
                 img = self._frame_faces[pos]
@@ -632,8 +664,9 @@ class VRDriver:
                 if row is not None:
                     self.eval_rows.append(list(row))
             if pos == 5:
-                self._save_frame_outputs(file_idx)
+                self._save_frame_outputs(file_idx, writer)
             count += 1
+        writer.close()
         if self.eval_rows and opt.evaluation_file:
             cols = list(zip(*self.eval_rows))
             with open(opt.evaluation_file, "a") as f:
