@@ -293,31 +293,50 @@ def test_bundled_flow_weights_accuracy_gate():
 
     Held-out protocols (seeds disjoint from training; 'large' and
     'discont' are OUT of the training distribution — bigger shifts,
-    occluding piecewise motion). Gates: absolute mean-EPE bounds per
-    protocol, plus the estimated fwd/bwd pair must pass the reference
-    consistency inequality on a floor fraction of non-occluded pixels.
+    occluding piecewise motion), on BOTH image sources: procedural
+    textures and the bundled natural-statistics fixtures (the reference
+    rides FlowNet2, trained on real imagery — README.md:113-115; gating
+    only procedural textures left natural quality unmeasured, VERDICT r4
+    missing #2). Gates: absolute mean-EPE bounds per (source, protocol),
+    plus the estimated fwd/bwd pair must pass the reference consistency
+    inequality on a floor fraction of non-occluded pixels.
+
     Calibrated 2026-08 at 128 px under the deterministic (crc32) protocol
-    seeding, after the round-3 harder-curriculum fine-tune
-    (tools/finetune_flow.py: +20k iters, max_shift 16, p_discont 0.5):
-    smooth 0.682 / large 1.693 / discont 1.441 mean EPE; pass rates
-    0.717 / 0.567 / 0.671. The eval data is procedural from a fixed
-    seed, so bounds are ~1.25x calibrated — a real regression fails."""
+    seeding, after the round-5 context-head fine-tune (PWC-Net context
+    network grafted via estimator.add_context, then 32k iterations on a
+    50% natural / 50% procedural pool with photometric + two-crop
+    composite augmentation, final 12k at p_discont 0.7 —
+    tools/finetune_flow.py chained stages, ledger in BENCH_NOTES.md):
+    proc smooth/large/discont EPE 0.593/1.534/1.400, pass
+    0.796/0.697/0.722; natural EPE 0.746/1.523/1.748, pass
+    0.656/0.680/0.534. (The pre-context round-3 checkpoint measured proc
+    0.682/1.693/1.441 and NATURAL 1.748/6.021/3.484 — the context head +
+    natural pool cut natural-image EPE 2.3-4x with every procedural
+    metric also improving.) The eval data is deterministic from fixed
+    seeds, so bounds are ~1.25x calibrated EPE / ~0.8x pass — a real
+    regression fails."""
     from fast_artistic_videos_tpu.flow import train as flow_train
 
     params = estimator.load_params(BUNDLED_FLOW)
-    results = flow_train.evaluate_heldout(params, size=128, n_cases=4)
     bounds = {  # (max mean EPE px, min mean consistency pass rate)
-        "smooth": (0.86, 0.57),
-        "large": (2.12, 0.45),
-        "discont": (1.81, 0.54),
+        ("proc", "smooth"): (0.74, 0.64),
+        ("proc", "large"): (1.92, 0.56),
+        ("proc", "discont"): (1.75, 0.58),
+        ("nat", "smooth"): (0.93, 0.52),
+        ("nat", "large"): (1.90, 0.54),
+        ("nat", "discont"): (2.19, 0.42),
     }
-    for name, (epe_mean, epe_max, pass_mean, pass_min) in results.items():
-        max_epe, min_pass = bounds[name]
-        assert epe_mean < max_epe, (
-            f"{name}: mean EPE {epe_mean:.3f} >= {max_epe}")
-        assert pass_mean > min_pass, (
-            f"{name}: consistency pass rate {pass_mean:.3f} <= {min_pass}")
-        assert np.isfinite(epe_max)
+    for tag, src in (("proc", None), ("nat", flow_train.natural_image)):
+        results = flow_train.evaluate_heldout(params, size=128, n_cases=4,
+                                              image_source=src)
+        for name, (epe_mean, epe_max, pass_mean, pass_min) in results.items():
+            max_epe, min_pass = bounds[(tag, name)]
+            assert epe_mean < max_epe, (
+                f"{tag}/{name}: mean EPE {epe_mean:.3f} >= {max_epe}")
+            assert pass_mean > min_pass, (
+                f"{tag}/{name}: consistency pass rate {pass_mean:.3f} "
+                f"<= {min_pass}")
+            assert np.isfinite(epe_max)
 
 
 def test_natural_image_fixtures():
